@@ -1,0 +1,255 @@
+"""Public SVGD sampler API.
+
+TPU-native redesign of the reference's sampler layer
+(stein/samplers/abstract_stein_sampler.py, stein_sampler.py): the reference
+runs n per-particle session calls plus a host-side NumPy n x n matmul per
+step (stein_sampler.py:59-68, abstract_stein_sampler.py:105); here the whole
+step — per-particle gradients via vmap(value_and_grad), median bandwidth,
+RBF kernel, SVGD direction, global norm clip, optimizer update — is ONE
+jitted XLA program with donated state, so particles never leave the device.
+
+Capability parity with the reference's public surface:
+  SteinSampler(n_particles, log_p, gd, theta=None)  -> SVGDSampler(...)
+  .train_on_batch(batch_feed)                        -> .train_on_batch(batch)
+  .function_posterior(func, feed_dict, axis)         -> .function_posterior(...)
+  .samples / .theta                                  -> .samples / .theta
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import rbf
+from .ops.median import exact_median, subsampled_sq_dist_median, binned_median
+from .utils.ravel import (
+    template_unraveler,
+    init_particles,
+    unravel_particles,
+)
+
+
+class SVGDState(NamedTuple):
+    """Complete mutable state of the sampler — a checkpointable pytree."""
+
+    particles: jnp.ndarray   # [n_particles, n_params]
+    opt_state: Any           # optimizer pytree (ops/optimizers.py)
+    step: jnp.ndarray        # scalar int32
+
+
+def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
+                median_max_rows=512, binned_bins=4096, binned_block_rows=256):
+    """Build phi_fn(theta, grads) -> (phi, aux) for the requested backend.
+
+    kernel_impl="xla": materialise the [n, n] kernel once; XLA fuses the
+    distance/exp elementwise work into surrounding ops and the attractive +
+    repulsive matmuls run as a single MXU contraction (ops/rbf.py).
+    kernel_impl="pallas": blocked fused kernel that never materialises K in
+    HBM (ops/pallas_svgd.py) — the large-n path.
+    """
+    if kernel_impl == "xla":
+        if median == "exact":
+            return lambda theta, grads: rbf.svgd_phi(
+                theta, grads, median_fn=exact_median
+            )
+        elif median == "subsample":
+            def phi_fn(theta, grads):
+                med = subsampled_sq_dist_median(theta, max_rows=median_max_rows)
+                return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
+            return phi_fn
+        elif median == "binned":
+            def phi_fn(theta, grads):
+                med = binned_median(
+                    theta, n_bins=binned_bins, block_rows=binned_block_rows
+                )
+                return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
+            return phi_fn
+        raise ValueError(f"unknown median mode: {median!r}")
+    elif kernel_impl == "pallas":
+        from .ops.pallas_svgd import pallas_svgd_phi
+
+        if median == "exact":
+            median_fn = lambda theta: exact_median(rbf.pairwise_sq_dists(theta))
+        elif median == "subsample":
+            median_fn = lambda theta: subsampled_sq_dist_median(
+                theta, max_rows=median_max_rows
+            )
+        elif median == "binned":
+            median_fn = lambda theta: binned_median(
+                theta, n_bins=binned_bins, block_rows=binned_block_rows
+            )
+        else:
+            raise ValueError(f"unknown median mode: {median!r}")
+
+        def phi_fn(theta, grads):
+            med = median_fn(theta)
+            h2 = rbf.bandwidth_sq_from_median(med, n_particles)
+            phi = pallas_svgd_phi(theta, grads, h2)
+            return phi, {"h2": h2, "median": med}
+
+        return phi_fn
+    raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
+
+
+def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0):
+    """Build the pure SVGD step: (state, batch) -> (state, aux).
+
+    Collapses the reference's stack-3.2 hot path
+    (abstract_stein_sampler.py:107-127 + stein_sampler.py:50-71) into one
+    traced function.
+    """
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def step_fn(state, batch):
+        theta = state.particles
+        log_p_vals, grads = grad_all(theta, batch)
+        phi, kaux = phi_fn(theta, grads)
+        # Global norm clip: phi *= c / max(c, ||phi||_F)
+        # (abstract_stein_sampler.py:125).
+        norm = jnp.sqrt(jnp.sum(phi * phi))
+        c = jnp.asarray(max_phi_norm, theta.dtype)
+        phi = phi * (c / jnp.maximum(c, norm))
+        delta, opt_state = gd.update(state.opt_state, phi)
+        new_state = SVGDState(theta + delta, opt_state, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jnp.mean(log_p_vals),
+            **kaux,
+        }
+        return new_state, aux
+
+    return step_fn
+
+
+class SVGDSampler:
+    """Stein variational gradient descent on TPU.
+
+    Parameters
+    ----------
+    n_particles : number of posterior samples to evolve.
+    log_p : callable (params_pytree, batch) -> scalar log-posterior (up to an
+        additive constant). Replaces the reference's TF graph contract
+        (abstract_stein_sampler.py:32-36).
+    param_template : pytree of arrays giving parameter shapes/dtypes — the
+        analogue of the reference's "model"-scope variable collection
+        (abstract_stein_sampler.py:49-51). Dict keys flatten in sorted order,
+        matching converters.py:40's deterministic layout.
+    gd : step rule from stein_tpu.ops.optimizers (Adam / Adagrad).
+    key : PRNG key for particle init (ignored when ``theta`` given).
+    theta : optional initial particles — an [n, p] matrix or a pytree of
+        [n, *shape] leaves matching ``param_template``.
+    dtype : particle/compute dtype (float32 default).
+    median : "exact" | "subsample" | "binned" bandwidth median.
+    kernel_impl : "xla" | "pallas".
+    mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
+        multi-chip execution (stein_tpu.parallel).
+    """
+
+    def __init__(self, n_particles, log_p, param_template, gd,
+                 key=None, theta=None, dtype=jnp.float32,
+                 median="exact", kernel_impl="xla", median_max_rows=512,
+                 max_phi_norm=10.0, mesh=None, particle_axis="particles",
+                 donate=True):
+        self.n_particles = int(n_particles)
+        self.log_p = log_p
+        self.gd = gd
+        self.dtype = dtype
+        self.mesh = mesh
+        self.particle_axis = particle_axis
+        self.n_params, self.unravel_fn = template_unraveler(
+            param_template, dtype
+        )
+
+        if theta is not None:
+            if not isinstance(theta, jnp.ndarray) or theta.ndim != 2:
+                from .utils.ravel import ravel_particles
+                theta = ravel_particles(
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x, dtype), theta
+                    )
+                )
+            theta0 = jnp.asarray(theta, dtype)
+            assert theta0.shape == (self.n_particles, self.n_params), (
+                f"theta shape {theta0.shape} != "
+                f"{(self.n_particles, self.n_params)}"
+            )
+        else:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            theta0 = init_particles(
+                key, self.n_particles, self.n_params, dtype
+            )
+
+        opt_state = gd.init(theta0.shape, dtype)
+        state = SVGDState(theta0, opt_state, jnp.zeros((), jnp.int32))
+
+        if mesh is None:
+            phi_fn = make_phi_fn(
+                self.n_particles, median=median, kernel_impl=kernel_impl,
+                median_max_rows=median_max_rows,
+            )
+            self._step_fn = make_step_fn(
+                log_p, self.unravel_fn, gd, phi_fn,
+                max_phi_norm=max_phi_norm,
+            )
+            donate_argnums = (0,) if donate else ()
+            self._jit_step = jax.jit(
+                self._step_fn, donate_argnums=donate_argnums
+            )
+            self.state = state
+        else:
+            from .parallel.sharded import make_sharded_step, shard_state
+            self._step_fn, self._jit_step, self.state = make_sharded_step(
+                log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
+                n_particles=self.n_particles, state=state, mesh=mesh,
+                particle_axis=particle_axis, median=median,
+                max_phi_norm=max_phi_norm, donate=donate,
+            )
+
+        self._posterior_cache = {}
+
+    # ------------------------------------------------------------------ API
+
+    def train_on_batch(self, batch):
+        """Run one SVGD step on a batch (pytree of arrays). Returns aux
+        diagnostics (device scalars): phi_norm (pre-clip), log_p_mean,
+        bandwidth^2, median."""
+        self.state, aux = self._jit_step(self.state, batch)
+        return aux
+
+    @property
+    def samples(self):
+        """[n_particles, n_params] particle matrix (reference:
+        stein_sampler.py:73-78)."""
+        return np.asarray(self.state.particles)
+
+    @property
+    def theta(self):
+        """Particles as a pytree of [n_particles, *shape] leaves (the
+        reference's theta dict, abstract_stein_sampler.py:66-74)."""
+        return unravel_particles(self.state.particles, self.unravel_fn)
+
+    def function_posterior(self, func, batch, axis=None):
+        """Posterior of ``func(params, batch) -> array`` over the particles
+        (reference: abstract_stein_sampler.py:129-168). Returns [n, size]
+        samples, or their mean over ``axis`` if given — one device call
+        instead of the reference's n session round-trips."""
+        fn = self._posterior_cache.get(func)
+        if fn is None:
+            def per_particle(theta_row, b):
+                return jnp.ravel(func(self.unravel_fn(theta_row), b))
+            fn = jax.jit(jax.vmap(per_particle, in_axes=(0, None)))
+            self._posterior_cache[func] = fn
+        dist = fn(self.state.particles, batch)
+        if axis is not None:
+            return np.asarray(dist.mean(axis=axis))
+        return np.asarray(dist)
+
+
+# Reference-compatible alias (stein/samplers/__init__.py:1).
+SteinSampler = SVGDSampler

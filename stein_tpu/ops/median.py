@@ -1,0 +1,149 @@
+"""On-device medians for the RBF bandwidth heuristic.
+
+The reference computes the *exact* median of all n^2 entries of the pairwise
+squared-distance matrix D — including the zero diagonal and both symmetric
+copies (reference: stein/utilities/compute_median.py:4-16, called from
+stein/kernels/abstract_kernel.py:38). Its top_k formulation is numerically
+identical to ``np.median`` of the flattened matrix.
+
+TPU-native strategy:
+
+- ``exact_median``: full sort-based median of a materialised D. O(n^2 log n);
+  the right choice up to a few thousand particles (n=4096 -> 64 MB fp32 D).
+- ``subsampled_sq_dist_median``: exact median over a deterministic strided
+  subset of D's *rows* (all columns kept), never materialising full D. The
+  bandwidth is a heuristic, so the O(1/sqrt(m)) quantile error of a
+  multi-million-entry subsample is statistically invisible; used by the
+  blocked / Pallas large-n path.
+- ``binned_median``: two-level histogram refinement over blocks of D computed
+  on the fly — deterministic, near-exact (interval shrinks by the bin count
+  per level), bounded memory. Also the primitive behind the distributed
+  median (histograms are psum-able across hosts).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def exact_median(D):
+    """Exact median over all entries of D, matching np.median semantics."""
+    return jnp.median(D)
+
+
+def _row_block_sq_dists(theta_rows, theta, rowsq_rows, rowsq):
+    """Squared distances between a row block and all particles.
+
+    Same algebraic form as the reference's D = r + r^T - 2 T T^T
+    (abstract_kernel.py:33-35), restricted to a block of rows.
+    """
+    return (
+        rowsq_rows[:, None]
+        + rowsq[None, :]
+        - 2.0 * theta_rows @ theta.T
+    )
+
+
+def subsampled_sq_dist_median(theta, max_rows=512):
+    """Exact median of the squared-distance sub-matrix D[idx, :] for a
+    deterministic strided row subset idx. Never materialises full D.
+
+    For max_rows >= n this equals the exact full median.
+    """
+    n = theta.shape[0]
+    rowsq = jnp.sum(theta * theta, axis=1)
+    if n <= max_rows:
+        D = _row_block_sq_dists(theta, theta, rowsq, rowsq)
+        return jnp.median(D)
+    stride = n // max_rows
+    idx = jnp.arange(max_rows) * stride
+    D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+    return jnp.median(D)
+
+
+def _block_histogram(theta, rowsq, lo, hi, n_bins, block_rows):
+    """Histogram of all n^2 squared distances over [lo, hi], computed by
+    streaming row blocks of D (recomputed from theta; D never materialised).
+
+    Values outside [lo, hi] clamp into the boundary bins. Returns int32
+    counts of shape [n_bins].
+    """
+    n = theta.shape[0]
+    n_blocks = n // block_rows
+    width = (hi - lo) / n_bins
+
+    def body(carry, i):
+        start = i * block_rows
+        rows = jax.lax.dynamic_slice_in_dim(theta, start, block_rows, axis=0)
+        rsq = jax.lax.dynamic_slice_in_dim(rowsq, start, block_rows, axis=0)
+        D = _row_block_sq_dists(rows, theta, rsq, rowsq)
+        b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+        counts = jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
+        return carry + counts, None
+
+    counts, _ = jax.lax.scan(
+        body, jnp.zeros((n_bins,), jnp.int32), jnp.arange(n_blocks)
+    )
+    # Remainder rows (n not divisible by block_rows).
+    rem = n - n_blocks * block_rows
+    if rem > 0:
+        D = _row_block_sq_dists(theta[-rem:], theta, rowsq[-rem:], rowsq)
+        b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+        counts = counts + jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
+    return counts
+
+
+def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
+                  axis_name=None):
+    """Near-exact median of all n^2 squared distances via multi-level
+    histogram refinement, without materialising D.
+
+    Each level shrinks the search interval by a factor of ``n_bins``; after
+    ``n_levels`` levels the returned bin centre is within
+    ``range(D) / n_bins**n_levels / 2`` of the exact median — for the
+    bandwidth heuristic this is far below Monte-Carlo noise.
+
+    If ``axis_name`` is given (inside shard_map), histograms and the global
+    min/max are psum'd across the particle axis so every shard agrees on the
+    global median: this is the distributed bandwidth of SURVEY.md §5.
+    """
+    n = theta.shape[0]
+    rowsq = jnp.sum(theta * theta, axis=1)
+
+    # Global value range of D. max(D) <= 2*max(rowsq) + 2*max(rowsq); use the
+    # cheap bound max_ij D_ij <= 4*max_i rowsq_i (|a-b|^2 <= 2|a|^2+2|b|^2),
+    # and lo slightly below 0 for fp-negative distances.
+    max_rsq = jnp.max(rowsq)
+    if axis_name is not None:
+        max_rsq = jax.lax.pmax(max_rsq, axis_name)
+    hi0 = 4.0 * max_rsq + 1e-12
+    lo0 = jnp.asarray(-1e-6, theta.dtype) * (1.0 + hi0)
+
+    if axis_name is not None:
+        n_total = n * jax.lax.axis_size(axis_name)
+    else:
+        n_total = n
+    total = n_total * n_total
+    # Ranks of the two middle order statistics (1-indexed): for even totals
+    # the median is the mean of ranks total//2 and total//2+1; for odd totals
+    # both ranks coincide at (total+1)//2.
+    k_lo = (total + 1) // 2
+    k_hi = total // 2 + 1
+
+    def refine(lo, hi, k):
+        """Locate the bin containing the k-th smallest; return its bounds."""
+        counts = _block_histogram(theta, rowsq, lo, hi, n_bins, block_rows)
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        cum = jnp.cumsum(counts)
+        b = jnp.searchsorted(cum, k, side="left").astype(theta.dtype)
+        width = (hi - lo) / n_bins
+        return lo + b * width, lo + (b + 1.0) * width
+
+    lo_a, hi_a = lo0, hi0
+    lo_b, hi_b = lo0, hi0
+    for _ in range(n_levels):
+        lo_a, hi_a = refine(lo_a, hi_a, k_lo)
+        lo_b, hi_b = refine(lo_b, hi_b, k_hi)
+    return 0.5 * ((lo_a + hi_a) * 0.5 + (lo_b + hi_b) * 0.5)

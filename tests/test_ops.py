@@ -1,0 +1,92 @@
+"""JAX ops vs the NumPy oracle: distances, kernel, repulsive term, phi,
+and the median backends."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from baselines import numpy_svgd
+from stein_tpu.ops import rbf
+from stein_tpu.ops.median import (
+    exact_median,
+    subsampled_sq_dist_median,
+    binned_median,
+)
+
+
+@pytest.fixture
+def theta():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(32, 11))
+
+
+def test_pairwise_sq_dists(theta):
+    D_np = numpy_svgd.pairwise_sq_dists(theta)
+    D_jax = rbf.pairwise_sq_dists(jnp.asarray(theta))
+    # atol covers the ~0 diagonal, where matmul reduction-order noise makes
+    # a pure-relative comparison meaningless.
+    np.testing.assert_allclose(np.asarray(D_jax), D_np, rtol=1e-10, atol=1e-11)
+
+
+def test_kernel_and_repulse(theta):
+    K_np, dK_np, h2_np = numpy_svgd.rbf_kernel_and_repulse(theta)
+    K, dK, h2 = rbf.rbf_kernel_and_repulse(jnp.asarray(theta))
+    np.testing.assert_allclose(np.asarray(h2), h2_np, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(K), K_np, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(dK), dK_np, rtol=1e-8, atol=1e-12)
+
+
+def test_svgd_phi(theta):
+    rng = np.random.default_rng(8)
+    grads = rng.normal(size=theta.shape)
+    phi_np, h2_np = numpy_svgd.compute_phi(theta, grads)
+    phi, aux = rbf.svgd_phi(jnp.asarray(theta), jnp.asarray(grads))
+    np.testing.assert_allclose(np.asarray(phi), phi_np, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aux["h2"]), h2_np, rtol=1e-10)
+
+
+def test_exact_median(theta):
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    assert np.isclose(
+        float(exact_median(jnp.asarray(D))), np.median(D.ravel())
+    )
+
+
+def test_subsampled_median_full_rows_is_exact(theta):
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    med = subsampled_sq_dist_median(jnp.asarray(theta), max_rows=64)
+    assert np.isclose(float(med), np.median(D.ravel()))
+
+
+def test_subsampled_median_is_close():
+    rng = np.random.default_rng(9)
+    theta = rng.normal(size=(512, 7))
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    exact = np.median(D.ravel())
+    med = float(subsampled_sq_dist_median(jnp.asarray(theta), max_rows=128))
+    assert abs(med - exact) / exact < 0.05
+
+
+def test_binned_median_near_exact():
+    rng = np.random.default_rng(10)
+    theta = rng.normal(size=(512, 7))
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    exact = np.median(D.ravel())
+    med = float(
+        binned_median(jnp.asarray(theta), n_bins=1024, n_levels=2,
+                      block_rows=128)
+    )
+    # Two levels of 1024 bins: interval width ~ range/2^20.
+    assert abs(med - exact) / exact < 1e-4
+
+
+def test_binned_median_nondivisible_blocks():
+    rng = np.random.default_rng(11)
+    theta = rng.normal(size=(300, 5))  # 300 % 128 != 0
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    exact = np.median(D.ravel())
+    med = float(
+        binned_median(jnp.asarray(theta), n_bins=1024, n_levels=2,
+                      block_rows=128)
+    )
+    assert abs(med - exact) / exact < 1e-4

@@ -1,0 +1,171 @@
+"""End-to-end sampler tests: golden trajectories vs the NumPy oracle and
+posterior-moment checks against the conjugate closed form."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from baselines.numpy_svgd import NumpySVGD, NumpyAdam, NumpyAdagrad
+from stein_tpu import SVGDSampler, Adam, Adagrad
+from stein_tpu.models import LinearRegressionModel
+
+
+def _linreg_setup(seed=0, n_obs=40, n_feats=3, n_particles=16):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_obs, n_feats))
+    w_true = rng.normal(size=(n_feats, 1)) * 2.0
+    y = X @ w_true + rng.normal(size=(n_obs, 1)) * 0.3
+    theta0 = rng.normal(size=(n_particles, n_feats)) * 0.01
+    model = LinearRegressionModel(n_feats)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    return X, y, theta0, model, batch
+
+
+def _np_grad_log_p(X, y):
+    """Closed-form grad of the linear-regression log posterior:
+    X^T(y - Xw) - w."""
+    def grad(theta_row, batch):
+        w = theta_row.reshape(-1, 1)
+        return (X.T @ (y - X @ w) - w).ravel()
+    return grad
+
+
+def test_golden_trajectory_adam():
+    """SVGDSampler (f64) matches the NumPy oracle elementwise for 10 steps."""
+    X, y, theta0, model, batch = _linreg_setup()
+    oracle = NumpySVGD(
+        _np_grad_log_p(X, y), theta0, NumpyAdam(learning_rate=1e-1)
+    )
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+    )
+    for t in range(10):
+        oracle.train_on_batch(None)
+        sampler.train_on_batch(batch)
+        np.testing.assert_allclose(
+            sampler.samples, oracle.samples, rtol=1e-8, atol=1e-12,
+            err_msg=f"step {t}",
+        )
+
+
+def test_golden_trajectory_adagrad():
+    X, y, theta0, model, batch = _linreg_setup(seed=3)
+    oracle = NumpySVGD(
+        _np_grad_log_p(X, y), theta0, NumpyAdagrad(learning_rate=1e-1)
+    )
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adagrad(learning_rate=1e-1),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+    )
+    for _ in range(10):
+        oracle.train_on_batch(None)
+        sampler.train_on_batch(batch)
+    np.testing.assert_allclose(
+        sampler.samples, oracle.samples, rtol=1e-8, atol=1e-12
+    )
+
+
+def test_posterior_moments_vs_conjugate():
+    """Linear regression with unit-noise Gaussian likelihood and N(0, I)
+    prior has conjugate posterior N((X'X+I)^-1 X'y, (X'X+I)^-1). SVGD's
+    particle mean/variance must land within Monte-Carlo error."""
+    X, y, _, model, batch = _linreg_setup(seed=5, n_particles=64)
+    n_particles = 64
+    key = jax.random.PRNGKey(42)
+    sampler = SVGDSampler(
+        n_particles=n_particles,
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        key=key,
+        dtype=jnp.float64,
+    )
+    for _ in range(600):
+        sampler.train_on_batch(batch)
+
+    A = X.T @ X + np.eye(X.shape[1])
+    cov = np.linalg.inv(A)
+    mean = cov @ X.T @ y
+
+    est_mean = sampler.samples.mean(axis=0)
+    est_var = sampler.samples.var(axis=0)
+    mc_err = np.sqrt(np.diag(cov) / n_particles)
+    np.testing.assert_allclose(est_mean, mean.ravel(), atol=4 * mc_err.max())
+    # SVGD with finite particles slightly underestimates variance; allow a
+    # generous band.
+    np.testing.assert_allclose(est_var, np.diag(cov), rtol=0.6)
+
+
+def test_theta_and_samples_roundtrip():
+    X, y, theta0, model, batch = _linreg_setup()
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+    )
+    theta_tree = sampler.theta
+    assert theta_tree["w"].shape == (theta0.shape[0], X.shape[1], 1)
+    np.testing.assert_allclose(
+        np.asarray(theta_tree["w"]).reshape(theta0.shape), theta0
+    )
+
+
+def test_pytree_theta_init():
+    """theta may be supplied as a pytree of [n, *shape] leaves."""
+    X, y, theta0, model, batch = _linreg_setup()
+    n, k = theta0.shape
+    sampler = SVGDSampler(
+        n_particles=n,
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        theta={"w": theta0.reshape(n, k, 1)},
+        dtype=jnp.float64,
+    )
+    np.testing.assert_allclose(sampler.samples, theta0)
+
+
+def test_function_posterior():
+    X, y, theta0, model, batch = _linreg_setup()
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+    )
+    dist = sampler.function_posterior(model.predict, batch)
+    assert dist.shape == (theta0.shape[0], X.shape[0])
+    expect = theta0 @ X.T  # w per particle dotted with rows of X
+    np.testing.assert_allclose(dist, expect, rtol=1e-10)
+    mean = sampler.function_posterior(model.predict, batch, axis=0)
+    np.testing.assert_allclose(mean, expect.mean(axis=0), rtol=1e-10)
+
+
+def test_aux_diagnostics():
+    X, y, theta0, model, batch = _linreg_setup()
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+    )
+    aux = sampler.train_on_batch(batch)
+    assert set(aux) >= {"phi_norm", "log_p_mean", "h2", "median"}
+    assert np.isfinite(float(aux["phi_norm"]))
+    assert float(aux["h2"]) > 0
