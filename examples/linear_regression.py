@@ -1,0 +1,78 @@
+"""Bayesian linear regression via SVGD — TPU-native port of the reference
+workload (reference: examples/linear_regression/main.py).
+
+Same model and hyperparameters: N(0,1) prior on weights, unit-variance
+Gaussian likelihood, 50 particles, Adam lr=1e-1, 500 full-batch iterations.
+The reference's data generator (examples/linear_regression/data/generator.py:
+5-9) draws X ~ N(0,1) [1000 x 1], w ~ 5*N(0,1), y ~ N(Xw, 0.3); we generate
+the same distribution from a fixed seed instead of shipping CSVs.
+
+Run: python examples/linear_regression.py
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stein_tpu import SVGDSampler, Adam
+from stein_tpu.models import LinearRegressionModel
+
+
+def generate_data(seed=0, n=1000, k=1):
+    rng = np.random.default_rng(seed)
+    data_X = rng.normal(size=(n, k))
+    data_w = rng.normal(size=(k, 1)) * 5.0
+    data_y = rng.normal(data_X @ data_w, 0.3)
+    return data_X, data_w, data_y
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-iters", type=int, default=500)
+    ap.add_argument("--n-particles", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    data_X, data_w, data_y = generate_data(args.seed)
+    n_samples, n_feats = data_X.shape
+    model = LinearRegressionModel(n_feats)
+    batch = {"X": jnp.asarray(data_X, jnp.float32),
+             "y": jnp.asarray(data_y, jnp.float32)}
+
+    start_time = time.time()
+    sampler = SVGDSampler(
+        n_particles=args.n_particles,
+        log_p=model.log_p,
+        param_template=model.template(),
+        gd=Adam(learning_rate=1e-1),
+        key=jax.random.PRNGKey(args.seed),
+    )
+    for i in range(args.n_iters):
+        t0 = time.time()
+        sampler.train_on_batch(batch)
+        if i % 100 == 0 or i == args.n_iters - 1:
+            jax.block_until_ready(sampler.state.particles)
+            print(f"Iteration {i}. Time to complete iteration: "
+                  f"{time.time() - t0:.4f}")
+
+    est = sampler.theta["w"].mean(axis=0).ravel()
+    print(f"True coefficients: {data_w.ravel()}")
+    print(f"Est. coefficients: {np.asarray(est)}")
+    print(f"Time elapsed: {time.time() - start_time:.2f}s")
+
+    # Closed-form conjugate posterior for reference.
+    A = data_X.T @ data_X + np.eye(n_feats)
+    post_mean = np.linalg.solve(A, data_X.T @ data_y).ravel()
+    print(f"Conjugate posterior mean: {post_mean}")
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,13 @@ class SVGDSampler:
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
                  donate=True):
         self.n_particles = int(n_particles)
+        if self.n_particles < 2:
+            # With one particle the median bandwidth is 0/log(1) = 0/0 — the
+            # reference would silently produce NaNs; fail loudly instead.
+            raise ValueError(
+                "SVGD needs n_particles >= 2 (the median-heuristic bandwidth "
+                "h^2 = median(D)/log(n) is undefined for n=1)"
+            )
         self.log_p = log_p
         self.gd = gd
         self.dtype = dtype
@@ -233,6 +240,18 @@ class SVGDSampler:
         """Particles as a pytree of [n_particles, *shape] leaves (the
         reference's theta dict, abstract_stein_sampler.py:66-74)."""
         return unravel_particles(self.state.particles, self.unravel_fn)
+
+    def save(self, path):
+        """Checkpoint the full sampler state (particles, optimizer moments,
+        decayed lr, step count) to ``path``."""
+        from .utils.checkpoint import save_checkpoint
+        save_checkpoint(path, self.state)
+
+    def restore(self, path):
+        """Restore state saved by ``save``; sharding-aware (leaves are
+        placed back with the current state's shardings)."""
+        from .utils.checkpoint import restore_checkpoint
+        self.state = restore_checkpoint(path, self.state)
 
     def function_posterior(self, func, batch, axis=None):
         """Posterior of ``func(params, batch) -> array`` over the particles

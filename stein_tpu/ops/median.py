@@ -62,25 +62,31 @@ def subsampled_sq_dist_median(theta, max_rows=512):
     return jnp.median(D)
 
 
-def _block_histogram(theta, rowsq, lo, hi, n_bins, block_rows):
-    """Histogram of all n^2 squared distances over [lo, hi], computed by
-    streaming row blocks of D (recomputed from theta; D never materialised).
+def _block_histogram(theta, rowsq, theta_cols, colsq, lo, hi, n_bins,
+                     block_rows):
+    """Histogram of the squared distances between ``theta``'s rows and
+    ``theta_cols``'s rows over [lo, hi], computed by streaming row blocks of
+    D (recomputed on the fly; D never materialised).
 
     Values outside [lo, hi] clamp into the boundary bins. Returns int32
-    counts of shape [n_bins].
+    counts of shape [n_bins]. In the sharded step, ``theta`` is the local
+    particle block and ``theta_cols`` the all-gathered global particles.
     """
     n = theta.shape[0]
+    block_rows = min(block_rows, n)
     n_blocks = n // block_rows
     width = (hi - lo) / n_bins
+
+    def block_counts(rows, rsq):
+        D = _row_block_sq_dists(rows, theta_cols, rsq, colsq)
+        b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+        return jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
 
     def body(carry, i):
         start = i * block_rows
         rows = jax.lax.dynamic_slice_in_dim(theta, start, block_rows, axis=0)
         rsq = jax.lax.dynamic_slice_in_dim(rowsq, start, block_rows, axis=0)
-        D = _row_block_sq_dists(rows, theta, rsq, rowsq)
-        b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
-        counts = jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
-        return carry + counts, None
+        return carry + block_counts(rows, rsq), None
 
     counts, _ = jax.lax.scan(
         body, jnp.zeros((n_bins,), jnp.int32), jnp.arange(n_blocks)
@@ -88,14 +94,12 @@ def _block_histogram(theta, rowsq, lo, hi, n_bins, block_rows):
     # Remainder rows (n not divisible by block_rows).
     rem = n - n_blocks * block_rows
     if rem > 0:
-        D = _row_block_sq_dists(theta[-rem:], theta, rowsq[-rem:], rowsq)
-        b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
-        counts = counts + jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
+        counts = counts + block_counts(theta[-rem:], rowsq[-rem:])
     return counts
 
 
 def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
-                  axis_name=None):
+                  axis_name=None, theta_cols=None):
     """Near-exact median of all n^2 squared distances via multi-level
     histogram refinement, without materialising D.
 
@@ -104,26 +108,30 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
     ``range(D) / n_bins**n_levels / 2`` of the exact median — for the
     bandwidth heuristic this is far below Monte-Carlo noise.
 
-    If ``axis_name`` is given (inside shard_map), histograms and the global
-    min/max are psum'd across the particle axis so every shard agrees on the
-    global median: this is the distributed bandwidth of SURVEY.md §5.
+    If ``axis_name`` is given (inside shard_map), ``theta`` is the local
+    particle block, ``theta_cols`` must be the all-gathered global particle
+    matrix, and histograms plus the global max are psum'd across the
+    particle axis so every shard agrees on the global median: this is the
+    distributed bandwidth of SURVEY.md §5.
     """
     n = theta.shape[0]
     rowsq = jnp.sum(theta * theta, axis=1)
+    if theta_cols is None:
+        theta_cols = theta
+        colsq = rowsq
+    else:
+        colsq = jnp.sum(theta_cols * theta_cols, axis=1)
 
-    # Global value range of D. max(D) <= 2*max(rowsq) + 2*max(rowsq); use the
-    # cheap bound max_ij D_ij <= 4*max_i rowsq_i (|a-b|^2 <= 2|a|^2+2|b|^2),
-    # and lo slightly below 0 for fp-negative distances.
-    max_rsq = jnp.max(rowsq)
+    # Global value range of D: the cheap bound max_ij D_ij <= 4*max_i
+    # rowsq_i (|a-b|^2 <= 2|a|^2 + 2|b|^2), and lo slightly below 0 for
+    # fp-negative distances.
+    max_rsq = jnp.max(colsq)
     if axis_name is not None:
         max_rsq = jax.lax.pmax(max_rsq, axis_name)
     hi0 = 4.0 * max_rsq + 1e-12
     lo0 = jnp.asarray(-1e-6, theta.dtype) * (1.0 + hi0)
 
-    if axis_name is not None:
-        n_total = n * jax.lax.axis_size(axis_name)
-    else:
-        n_total = n
+    n_total = theta_cols.shape[0]
     total = n_total * n_total
     # Ranks of the two middle order statistics (1-indexed): for even totals
     # the median is the mean of ranks total//2 and total//2+1; for odd totals
@@ -133,7 +141,9 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
 
     def refine(lo, hi, k):
         """Locate the bin containing the k-th smallest; return its bounds."""
-        counts = _block_histogram(theta, rowsq, lo, hi, n_bins, block_rows)
+        counts = _block_histogram(
+            theta, rowsq, theta_cols, colsq, lo, hi, n_bins, block_rows
+        )
         if axis_name is not None:
             counts = jax.lax.psum(counts, axis_name)
         cum = jnp.cumsum(counts)

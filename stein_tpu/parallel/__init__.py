@@ -1,0 +1,9 @@
+from .mesh import particle_mesh, setup_distributed
+from .sharded import make_sharded_step, shard_state
+
+__all__ = [
+    "particle_mesh",
+    "setup_distributed",
+    "make_sharded_step",
+    "shard_state",
+]

@@ -1,0 +1,149 @@
+"""Particle-sharded SVGD step via shard_map.
+
+Replaces the reference's sequential per-particle loop
+(stein_sampler.py:59-68) with an SPMD program over a particle-sharded mesh:
+
+- each shard holds a particle block [n_local, p] plus the matching optimizer
+  moment blocks;
+- per-particle gradients run locally with vmap(value_and_grad);
+- the n x n kernel is computed as local-rows x global-cols tiles against an
+  all-gathered particle/gradient matrix (SURVEY.md §5's "blockwise tiling");
+- the median bandwidth is global: exact via an all-gather of the local
+  distance rows (small n), or psum'd histogram refinement (large n);
+- the global Frobenius norm for the clip (abstract_stein_sampler.py:125) is
+  a psum of local squared sums;
+- the optimizer update is elementwise over the local block, with scalar
+  state (step count, decayed lr) computed redundantly and identically on
+  every shard.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..api import SVGDState
+from ..ops.median import binned_median
+
+
+def shard_state(state, mesh, axis_name):
+    """Place an SVGDState on the mesh: particle-dim arrays sharded along
+    ``axis_name``, scalars replicated."""
+    n = state.particles.shape[0]
+
+    def spec_for(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n:
+            return NamedSharding(
+                mesh, P(axis_name, *([None] * (leaf.ndim - 1)))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, spec_for(leaf)), state
+    )
+
+
+def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
+                      particle_axis="particles", median="exact",
+                      max_phi_norm=10.0, donate=True,
+                      binned_bins=4096, binned_block_rows=256):
+    """Build (step_fn, jitted_step, sharded_state) for the mesh.
+
+    Returns the raw SPMD step (for composition/testing), its jitted form
+    with donated state, and the input state placed onto the mesh.
+    """
+    axis = particle_axis
+    n_dev = mesh.shape[axis]
+    if n_particles % n_dev != 0:
+        raise ValueError(
+            f"n_particles={n_particles} must divide evenly over the "
+            f"{n_dev}-way particle axis {axis!r}"
+        )
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def spmd_step(state, batch):
+        theta_loc = state.particles                      # [n_loc, p]
+        n_loc, p = theta_loc.shape
+        log_p_vals, grads_loc = grad_all(theta_loc, batch)
+
+        # Particle block exchange: every shard needs all particles (and
+        # gradients) as kernel-matrix columns.
+        theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)  # [n, p]
+        grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
+
+        rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
+        rsq_all = jnp.sum(theta_all * theta_all, axis=1)
+        # Local rows x global cols of D = r + r^T - 2 T T^T
+        # (abstract_kernel.py:33-35).
+        D_rows = (
+            rsq_loc[:, None] + rsq_all[None, :]
+            - 2.0 * theta_loc @ theta_all.T
+        )
+
+        # Global median over all n^2 entries (compute_median.py:4-16).
+        if median == "exact":
+            D_full = jax.lax.all_gather(D_rows, axis, tiled=True)
+            med = jnp.median(D_full)
+        elif median == "binned":
+            med = binned_median(
+                theta_loc, n_bins=binned_bins, block_rows=binned_block_rows,
+                axis_name=axis, theta_cols=theta_all,
+            )
+        else:
+            raise ValueError(
+                f"unknown sharded median mode: {median!r} "
+                "(use 'exact' or 'binned')"
+            )
+        h2 = med / jnp.log(jnp.asarray(n_particles, theta_loc.dtype))
+
+        K_rows = jnp.exp(-D_rows / h2 / 2.0)             # [n_loc, n]
+        ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+        both = jnp.matmul(
+            K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
+            preferred_element_type=theta_loc.dtype,
+        )
+        attract = both[:, :p]
+        ktheta = both[:, p:]
+        phi = (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
+
+        # Global Frobenius-norm clip (abstract_stein_sampler.py:125).
+        norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))
+        c = jnp.asarray(max_phi_norm, theta_loc.dtype)
+        phi = phi * (c / jnp.maximum(c, norm))
+
+        delta, opt_state = gd.update(state.opt_state, phi)
+        new_state = SVGDState(theta_loc + delta, opt_state, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jax.lax.pmean(jnp.mean(log_p_vals), axis),
+            "h2": h2,
+            "median": med,
+        }
+        return new_state, aux
+
+    pdim = P(axis, None)
+    state_specs = SVGDState(
+        particles=pdim,
+        opt_state=jax.tree_util.tree_map(
+            lambda leaf: pdim if leaf.ndim >= 1 and
+            leaf.shape[0] == n_particles else P(),
+            state.opt_state,
+        ),
+        step=P(),
+    )
+    aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
+
+    step_fn = jax.shard_map(
+        spmd_step,
+        mesh=mesh,
+        in_specs=(state_specs, P()),
+        out_specs=(state_specs, aux_specs),
+        check_vma=False,
+    )
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn, jitted, shard_state(state, mesh, axis)

@@ -4,10 +4,15 @@ from .ravel import (
     unravel_particles,
     init_particles,
 )
+from .checkpoint import save_checkpoint, restore_checkpoint
+from .metrics import MetricsLogger
 
 __all__ = [
     "template_unraveler",
     "ravel_particles",
     "unravel_particles",
     "init_particles",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "MetricsLogger",
 ]

@@ -1,0 +1,67 @@
+"""Lightweight metrics / observability.
+
+The reference's only observability is print statements in examples
+(SURVEY.md §5). This provides a small stdlib-logging metrics callback for
+the quantities that matter to SVGD health — step time, pre-clip ||phi||,
+bandwidth h^2, mean log-posterior — with optional CSV capture. No heavy
+dependencies."""
+
+import csv
+import logging
+import time
+
+
+logger = logging.getLogger("stein_tpu")
+
+
+class MetricsLogger:
+    """Collects per-step diagnostics from SVGDSampler.train_on_batch aux.
+
+    Usage:
+        metrics = MetricsLogger(log_every=100, csv_path="run.csv")
+        for step in ...:
+            aux = sampler.train_on_batch(batch)
+            metrics.record(step, aux)
+    """
+
+    def __init__(self, log_every=100, csv_path=None):
+        self.log_every = log_every
+        self.csv_path = csv_path
+        self._csv_file = None
+        self._csv_writer = None
+        self._last_time = None
+        self.history = []
+
+    def record(self, step, aux):
+        now = time.perf_counter()
+        step_time = None if self._last_time is None else now - self._last_time
+        self._last_time = now
+        row = {
+            "step": int(step),
+            "step_time_s": step_time,
+            "phi_norm": float(aux["phi_norm"]),
+            "h2": float(aux["h2"]),
+            "log_p_mean": float(aux.get("log_p_mean", float("nan"))),
+        }
+        self.history.append(row)
+        if self.csv_path is not None:
+            if self._csv_writer is None:
+                self._csv_file = open(self.csv_path, "w", newline="")
+                self._csv_writer = csv.DictWriter(
+                    self._csv_file, fieldnames=list(row)
+                )
+                self._csv_writer.writeheader()
+            self._csv_writer.writerow(row)
+            self._csv_file.flush()
+        if self.log_every and step % self.log_every == 0:
+            logger.info(
+                "step=%d phi_norm=%.4g h2=%.4g log_p_mean=%.6g time=%s",
+                row["step"], row["phi_norm"], row["h2"], row["log_p_mean"],
+                f"{step_time:.4f}s" if step_time is not None else "n/a",
+            )
+
+    def close(self):
+        if self._csv_file is not None:
+            self._csv_file.close()
+            self._csv_file = None
+            self._csv_writer = None

@@ -1,0 +1,95 @@
+"""Checkpoint/resume: a restored sampler must continue bit-identically,
+including the decayed learning rate and step count (SURVEY.md §5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stein_tpu import SVGDSampler, Adam
+from stein_tpu.models import LinearRegressionModel
+from stein_tpu.parallel import particle_mesh
+
+
+def _setup(seed=0, n_particles=16, mesh=None):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(30, 3))
+    y = X @ rng.normal(size=(3, 1)) + rng.normal(size=(30, 1)) * 0.3
+    model = LinearRegressionModel(3)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    theta0 = rng.normal(size=(n_particles, 3)) * 0.01
+    sampler = SVGDSampler(
+        n_particles=n_particles,
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1, decay=0.99),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+        mesh=mesh,
+    )
+    return sampler, batch, model, theta0
+
+
+def test_save_restore_resumes_identically(tmp_path):
+    ckpt = str(tmp_path / "state.npz")
+    a, batch, model, theta0 = _setup()
+    for _ in range(3):
+        a.train_on_batch(batch)
+    a.save(ckpt)
+    for _ in range(4):
+        a.train_on_batch(batch)
+
+    b, _, _, _ = _setup()  # fresh sampler, same config
+    b.restore(ckpt)
+    assert int(b.state.step) == 3
+    np.testing.assert_allclose(
+        float(b.state.opt_state.learning_rate), 0.1 * 0.99 ** 3
+    )
+    for _ in range(4):
+        b.train_on_batch(batch)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    assert int(b.state.step) == 7
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 fake devices")
+def test_save_single_restore_sharded(tmp_path):
+    """A single-device checkpoint restores onto a mesh-sharded sampler and
+    the run continues to match the single-device run."""
+    ckpt = str(tmp_path / "state.npz")
+    a, batch, model, theta0 = _setup()
+    for _ in range(3):
+        a.train_on_batch(batch)
+    a.save(ckpt)
+
+    mesh = particle_mesh(jax.devices()[:8])
+    b, _, _, _ = _setup(mesh=mesh)
+    b.restore(ckpt)
+    for _ in range(3):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-9, atol=1e-12)
+
+
+def test_restore_shape_mismatch_raises(tmp_path):
+    ckpt = str(tmp_path / "state.npz")
+    a, batch, _, _ = _setup(n_particles=16)
+    a.save(ckpt)
+    b, _, _, _ = _setup(n_particles=8)
+    with pytest.raises(ValueError):
+        b.restore(ckpt)
+
+
+def test_metrics_logger(tmp_path):
+    from stein_tpu.utils.metrics import MetricsLogger
+    a, batch, _, _ = _setup()
+    csv_path = str(tmp_path / "metrics.csv")
+    m = MetricsLogger(log_every=1, csv_path=csv_path)
+    for step in range(3):
+        aux = a.train_on_batch(batch)
+        m.record(step, aux)
+    m.close()
+    assert len(m.history) == 3
+    assert m.history[1]["step_time_s"] is not None
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 4  # header + 3 rows

@@ -1,0 +1,136 @@
+"""Sharded-step tests on 8 fake CPU devices: the particle-sharded SPMD step
+must reproduce the single-device step (and hence the NumPy oracle) within
+floating-point tolerance, per SURVEY.md §4(d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stein_tpu import SVGDSampler, Adam, Adagrad
+from stein_tpu.models import LinearRegressionModel, BayesianNNModel
+from stein_tpu.parallel import particle_mesh
+
+
+requires_8_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 fake CPU devices"
+)
+
+
+def _linreg(seed=0, n_obs=40, n_feats=3, n_particles=16):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_obs, n_feats))
+    y = X @ (rng.normal(size=(n_feats, 1)) * 2.0) + rng.normal(
+        size=(n_obs, 1)
+    ) * 0.3
+    theta0 = rng.normal(size=(n_particles, n_feats)) * 0.01
+    model = LinearRegressionModel(n_feats)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    return theta0, model, batch
+
+
+def _make_pair(theta0, model, gd_factory, mesh, **kwargs):
+    common = dict(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+    )
+    single = SVGDSampler(gd=gd_factory(), **common, **kwargs)
+    sharded = SVGDSampler(gd=gd_factory(), mesh=mesh, **common, **kwargs)
+    return single, sharded
+
+
+@requires_8_devices
+@pytest.mark.parametrize("gd_factory", [
+    lambda: Adam(learning_rate=1e-1),
+    lambda: Adagrad(learning_rate=1e-1),
+])
+def test_sharded_matches_single_device(gd_factory):
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(theta0, model, gd_factory, mesh)
+    for t in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+        np.testing.assert_allclose(
+            sharded.samples, single.samples, rtol=1e-9, atol=1e-12,
+            err_msg=f"step {t}",
+        )
+
+
+@requires_8_devices
+def test_sharded_binned_median_close():
+    theta0, model, batch = _linreg(n_particles=64)
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="binned",
+    )
+    # single uses exact median; binned sharded should track it closely.
+    for _ in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-3, atol=1e-8
+    )
+
+
+@requires_8_devices
+def test_sharded_aux_and_function_posterior():
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    sharded = SVGDSampler(
+        n_particles=theta0.shape[0],
+        log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1),
+        theta=jnp.asarray(theta0),
+        dtype=jnp.float64,
+        mesh=mesh,
+    )
+    aux = sharded.train_on_batch(batch)
+    assert np.isfinite(float(aux["phi_norm"]))
+    dist = sharded.function_posterior(model.predict, batch)
+    assert dist.shape == (theta0.shape[0], batch["X"].shape[0])
+
+
+@requires_8_devices
+def test_sharded_bayesian_nn_matches_single():
+    """Pytree-structured particles through the sharded path."""
+    rng = np.random.default_rng(2)
+    n_particles = 8
+    X = rng.uniform(size=(20, 1))
+    y = np.cos(10 * X) * (5 * X) + rng.normal(size=(20, 1)) * 0.1
+    model = BayesianNNModel(1, 16, 20, 20)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    from stein_tpu.utils.ravel import template_unraveler
+    n_params, _ = template_unraveler(model.template(jnp.float64))
+    theta0 = rng.normal(size=(n_particles, n_params)) * 0.01
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1, decay=0.999), mesh
+    )
+    for _ in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-8, atol=1e-11
+    )
+
+
+@requires_8_devices
+def test_nondivisible_particles_raises():
+    theta0, model, batch = _linreg(n_particles=12)
+    mesh = particle_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError):
+        SVGDSampler(
+            n_particles=12,
+            log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(),
+            theta=jnp.asarray(theta0),
+            dtype=jnp.float64,
+            mesh=mesh,
+        )
