@@ -39,7 +39,8 @@ class SVGDState(NamedTuple):
 
 
 def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
-                median_max_rows=512, binned_bins=4096, binned_block_rows=256):
+                median_max_rows=512, binned_bins=4096, binned_block_rows=256,
+                pallas_block=512, pallas_interpret=False):
     """Build phi_fn(theta, grads) -> (phi, aux) for the requested backend.
 
     kernel_impl="xla": materialise the [n, n] kernel once; XLA fuses the
@@ -85,7 +86,10 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
         def phi_fn(theta, grads):
             med = median_fn(theta)
             h2 = rbf.bandwidth_sq_from_median(med, n_particles)
-            phi = pallas_svgd_phi(theta, grads, h2)
+            phi = pallas_svgd_phi(
+                theta, grads, h2, block_i=pallas_block,
+                block_j=pallas_block, interpret=pallas_interpret,
+            )
             return phi, {"h2": h2, "median": med}
 
         return phi_fn
@@ -154,7 +158,7 @@ class SVGDSampler:
                  key=None, theta=None, dtype=jnp.float32,
                  median="exact", kernel_impl="xla", median_max_rows=512,
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
-                 donate=True):
+                 donate=True, pallas_block=512, pallas_interpret=False):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -180,7 +184,10 @@ class SVGDSampler:
                         lambda x: jnp.asarray(x, dtype), theta
                     )
                 )
-            theta0 = jnp.asarray(theta, dtype)
+            # Copy: the jitted step donates the state buffers, and the
+            # caller's array must survive (and may be shared across
+            # samplers).
+            theta0 = jnp.array(theta, dtype, copy=True)
             assert theta0.shape == (self.n_particles, self.n_params), (
                 f"theta shape {theta0.shape} != "
                 f"{(self.n_particles, self.n_params)}"
@@ -198,7 +205,8 @@ class SVGDSampler:
         if mesh is None:
             phi_fn = make_phi_fn(
                 self.n_particles, median=median, kernel_impl=kernel_impl,
-                median_max_rows=median_max_rows,
+                median_max_rows=median_max_rows, pallas_block=pallas_block,
+                pallas_interpret=pallas_interpret,
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,

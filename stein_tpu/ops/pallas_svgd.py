@@ -1,0 +1,133 @@
+"""Blocked Pallas TPU kernel for the fused SVGD direction.
+
+The hot op of SVGD at large n is the n x n RBF kernel applied to the
+gradient and particle matrices (SURVEY.md §5: "blockwise tiling of the
+pairwise-distance + kernel matrix"). The XLA path (ops/rbf.py) materialises
+K (and D) in HBM: ~3 full n^2 arrays of traffic per step (write D, write K,
+read K). At n=10k/fp32 that is >1 GB of HBM traffic per step for ~100 MFLOP
+of matmul — bandwidth-bound by 10x.
+
+This kernel streams [BI x BJ] tiles flash-attention-style: each tile
+computes the squared distances D = r_i + r_j - 2*theta_i@theta_j^T on the
+MXU, exponentiates in VMEM, and immediately contracts K_tile against the
+concatenated [grads | theta] block (one [BI,BJ]x[BJ,2p] MXU pass) while
+accumulating the kernel row-sums — K never touches HBM. HBM traffic drops
+to O(n*p) per tile-row instead of O(n^2).
+
+The bandwidth h^2 is computed beforehand (subsampled or histogram median,
+ops/median.py) since the kernel needs it inside the tile.
+
+Semantics match ops/rbf.svgd_phi exactly (same reference citations):
+  phi_i = ( sum_j K_ij g_j + (sum_j K_ij theta_i - sum_j K_ij theta_j)/h^2 ) / n
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
+                      gt_j_ref, both_ref, ksum_ref):
+    """One (i, j) tile: D -> K -> [K@[G|T], row-sums], accumulated over j."""
+    j = pl.program_id(1)
+    n_valid = n_ref[0]
+    bj = gt_j_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        both_ref[:] = jnp.zeros_like(both_ref)
+        ksum_ref[:] = jnp.zeros_like(ksum_ref)
+
+    theta_i = theta_i_ref[:]                      # [BI, p]
+    # Distance tile: r_i + r_j^T - 2 theta_i theta_j^T
+    # (reference abstract_kernel.py:33-35). gt_j = [grads_j | theta_j].
+    p = theta_i.shape[1]
+    theta_j = gt_j_ref[:, p:]                     # [BJ, p]
+    D = (
+        rsq_i_ref[:]                              # [BI, 1]
+        + rsq_j_ref[:].reshape(1, bj)             # [1, BJ]
+        - 2.0 * jnp.dot(theta_i, theta_j.T,
+                        preferred_element_type=jnp.float32)
+    )
+    K = jnp.exp(-D / h2_ref[0] / 2.0)             # [BI, BJ]
+    # Mask padded columns (rows j*BJ + c >= n are zero-padding, not
+    # particles; their K contribution must vanish).
+    col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
+    K = jnp.where(col < n_valid, K, 0.0)
+
+    both_ref[:] += jnp.dot(K, gt_j_ref[:],
+                           preferred_element_type=jnp.float32)
+    ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
+
+
+def _pad_rows(x, rows):
+    if rows == 0:
+        return x
+    return jnp.pad(x, ((0, rows), (0, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_i", "block_j", "interpret")
+)
+def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
+                    interpret=False):
+    """Fused SVGD direction phi for [n, p] particles/gradients.
+
+    Matches ops/rbf.svgd_phi's output bit-for-bit up to matmul reduction
+    order. n and p are unconstrained (rows are zero-padded to the block
+    size and masked inside the kernel; Mosaic handles non-128 p).
+    """
+    n, p = theta.shape
+    dtype = theta.dtype
+    f32 = jnp.float32
+    bi = min(block_i, max(8, n))
+    bj = min(block_j, max(8, n))
+    n_pad = -(-n // max(bi, bj)) * max(bi, bj)
+    bi = bj = max(bi, bj)
+
+    theta_p = _pad_rows(theta.astype(f32), n_pad - n)
+    grads_p = _pad_rows(grads.astype(f32), n_pad - n)
+    gt = jnp.concatenate([grads_p, theta_p], axis=1)       # [n_pad, 2p]
+    rsq = jnp.sum(theta_p * theta_p, axis=1, keepdims=True)  # [n_pad, 1]
+
+    grid = (n_pad // bi, n_pad // bj)
+    h2_arr = jnp.asarray(h2, f32).reshape(1)
+    n_arr = jnp.asarray(n, jnp.int32).reshape(1)
+
+    both, ksum = pl.pallas_call(
+        _svgd_tile_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # h2
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # n
+            pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),        # rsq_i
+            pl.BlockSpec((bi, p), lambda i, j: (i, 0)),        # theta_i
+            pl.BlockSpec((bj, 1), lambda i, j: (j, 0)),        # rsq_j
+            pl.BlockSpec((bj, 2 * p), lambda i, j: (j, 0)),    # gt_j
+        ],
+        out_specs=[
+            pl.BlockSpec((bi, 2 * p), lambda i, j: (i, 0)),    # both
+            pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),        # ksum
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 2 * p), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * n_pad * 3 * p,
+            bytes_accessed=4 * (n_pad * p * 3 + n_pad * n_pad // 64),
+            transcendentals=n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(h2_arr, n_arr, rsq, theta_p, rsq, gt)
+
+    both = both[:n]
+    ksum = ksum[:n]
+    attract = both[:, :p]
+    ktheta = both[:, p:]
+    h2f = jnp.asarray(h2, f32)
+    phi = (attract + (ksum * theta.astype(f32) - ktheta) / h2f) / n
+    return phi.astype(dtype)
