@@ -68,14 +68,17 @@ def bench_jax(X, y, theta0):
         gd=Adam(learning_rate=1e-1),
         theta=jnp.asarray(theta0, jnp.float32),
     )
-    for _ in range(WARMUP):
-        sampler.train_on_batch(batch)
+    # One dispatch per CHUNK steps (lax.scan) — the TPU-native loop shape;
+    # per-dispatch tunnel latency would otherwise dominate at this size.
+    CHUNK = 25
+    sampler.run(batch, CHUNK)  # warmup + compile
     jax.block_until_ready(sampler.state.particles)
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        sampler.train_on_batch(batch)
+    for _ in range(STEPS // CHUNK + 1):
+        sampler.run(batch, CHUNK)
     jax.block_until_ready(sampler.state.particles)
-    return (time.perf_counter() - t0) / STEPS
+    n_timed = (STEPS // CHUNK + 1) * CHUNK
+    return (time.perf_counter() - t0) / n_timed
 
 
 def main():

@@ -55,13 +55,18 @@ def main():
         gd=Adam(learning_rate=1e-1),
         key=jax.random.PRNGKey(args.seed),
     )
-    for i in range(args.n_iters):
+    # Full-batch training: one device dispatch per 100 steps (lax.scan)
+    # instead of the reference's per-iteration session calls
+    # (linear_regression/main.py:42-48).
+    chunk = 100
+    for i in range(0, args.n_iters, chunk):
         t0 = time.time()
-        sampler.train_on_batch(batch)
-        if i % 100 == 0 or i == args.n_iters - 1:
-            jax.block_until_ready(sampler.state.particles)
-            print(f"Iteration {i}. Time to complete iteration: "
-                  f"{time.time() - t0:.4f}")
+        k = min(chunk, args.n_iters - i)
+        sampler.run(batch, k)
+        jax.block_until_ready(sampler.state.particles)
+        dt = time.time() - t0
+        print(f"Iterations {i}-{i + k - 1}: {dt:.4f}s "
+              f"({dt / k * 1e3:.3f} ms/iter)")
 
     est = sampler.theta["w"].mean(axis=0).ravel()
     print(f"True coefficients: {data_w.ravel()}")

@@ -77,14 +77,22 @@ def main():
         return np.mean(avg_pred == y_test.ravel())
 
     start = time.time()
-    for i in range(args.n_iters):
-        if i % args.n_prog == 0:
-            acc = evaluate()
-            print(f"Iteration {i} / {args.n_iters}: {acc:4f}")
-        idx = rng.choice(n_train, args.n_batch, replace=False)
-        batch = {"X": jnp.asarray(X_train[idx], jnp.float32),
-                 "y": jnp.asarray(y_train[idx], jnp.float32)}
-        sampler.train_on_batch(batch)
+    # One device dispatch per n_prog minibatch steps: pre-sample the index
+    # matrix and scan (sampler.train_on_batches) instead of the reference's
+    # step-per-session-call loop (logistic_regression/main.py:72-79).
+    X_train_j = jnp.asarray(X_train, jnp.float32)
+    y_train_j = jnp.asarray(y_train, jnp.float32)
+    for i in range(0, args.n_iters, args.n_prog):
+        acc = evaluate()
+        print(f"Iteration {i} / {args.n_iters}: {acc:4f}")
+        k = min(args.n_prog, args.n_iters - i)
+        idx = np.stack([
+            rng.choice(n_train, args.n_batch, replace=False)
+            for _ in range(k)
+        ])
+        sampler.train_on_batches(
+            {"X": X_train_j[idx], "y": y_train_j[idx]}
+        )
     print(f"Final accuracy: {evaluate():4f}")
     print(f"Time elapsed: {time.time() - start:.2f}s")
 

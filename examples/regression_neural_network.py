@@ -78,15 +78,23 @@ def main():
     )
 
     start = time.time()
-    for i in range(args.n_iters):
-        idx = rng.choice(n_train, args.n_batch, replace=False)
-        batch = {"X": jnp.asarray(X_train[idx], jnp.float32),
-                 "y": jnp.asarray(y_train[idx], jnp.float32)}
-        sampler.train_on_batch(batch)
-        if i % args.n_prog == 0:
-            y_hat = sampler.function_posterior(model.predict, full_batch)
-            mse = np.mean((y_train.ravel() - y_hat.mean(axis=0)) ** 2)
-            print(f"Iteration: {i}. Mean squared error: {mse:.4f}")
+    # One device dispatch per n_prog minibatch steps (pre-sampled indices +
+    # scan) instead of the reference's per-step loop
+    # (regression_neural_network/main.py:95-102).
+    X_train_j = jnp.asarray(X_train, jnp.float32)
+    y_train_j = jnp.asarray(y_train, jnp.float32)
+    for i in range(0, args.n_iters, args.n_prog):
+        y_hat = sampler.function_posterior(model.predict, full_batch)
+        mse = np.mean((y_train.ravel() - y_hat.mean(axis=0)) ** 2)
+        print(f"Iteration: {i}. Mean squared error: {mse:.4f}")
+        k = min(args.n_prog, args.n_iters - i)
+        idx = np.stack([
+            rng.choice(n_train, args.n_batch, replace=False)
+            for _ in range(k)
+        ])
+        sampler.train_on_batches(
+            {"X": X_train_j[idx], "y": y_train_j[idx]}
+        )
 
     y_hat = sampler.function_posterior(model.predict, full_batch)
     mse = np.mean((y_train.ravel() - y_hat.mean(axis=0)) ** 2)

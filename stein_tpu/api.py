@@ -158,7 +158,8 @@ class SVGDSampler:
                  key=None, theta=None, dtype=jnp.float32,
                  median="exact", kernel_impl="xla", median_max_rows=512,
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
-                 donate=True, pallas_block=512, pallas_interpret=False):
+                 donate=True, pallas_block=512, pallas_interpret=False,
+                 model_axis=None, comm="all_gather"):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -217,16 +218,27 @@ class SVGDSampler:
                 self._step_fn, donate_argnums=donate_argnums
             )
             self.state = state
+        elif model_axis is not None:
+            from .parallel.sharded2d import make_sharded2d_step
+            self._step_fn, self._jit_step, self.state = make_sharded2d_step(
+                log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
+                n_particles=self.n_particles, n_params=self.n_params,
+                state=state, mesh=mesh, particle_axis=particle_axis,
+                model_axis=model_axis, max_phi_norm=max_phi_norm,
+                donate=donate,
+            )
         else:
             from .parallel.sharded import make_sharded_step, shard_state
             self._step_fn, self._jit_step, self.state = make_sharded_step(
                 log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
                 n_particles=self.n_particles, state=state, mesh=mesh,
                 particle_axis=particle_axis, median=median,
-                max_phi_norm=max_phi_norm, donate=donate,
+                max_phi_norm=max_phi_norm, donate=donate, comm=comm,
             )
 
         self._posterior_cache = {}
+        self._jit_run = None
+        self._jit_multi = None
 
     # ------------------------------------------------------------------ API
 
@@ -235,6 +247,36 @@ class SVGDSampler:
         diagnostics (device scalars): phi_norm (pre-clip), log_p_mean,
         bandwidth^2, median."""
         self.state, aux = self._jit_step(self.state, batch)
+        return aux
+
+    def run(self, batch, n_steps):
+        """Run ``n_steps`` full-batch SVGD steps in ONE device dispatch
+        (lax.scan over the step), amortising host->device launch latency —
+        the TPU-native replacement for the reference's per-step Python loop
+        (examples/linear_regression/main.py:42-48). Returns aux with a
+        leading [n_steps] axis."""
+        if self._jit_run is None:
+            def multi(state, batch, n):
+                return jax.lax.scan(
+                    lambda s, _: self._step_fn(s, batch), state, None,
+                    length=n,
+                )
+            self._jit_run = jax.jit(
+                multi, static_argnums=(2,), donate_argnums=(0,)
+            )
+        self.state, aux = self._jit_run(self.state, batch, int(n_steps))
+        return aux
+
+    def train_on_batches(self, batches):
+        """Run one SVGD step per stacked minibatch in ONE device dispatch:
+        ``batches`` is a pytree whose leaves have a leading [k] axis (k
+        minibatches, e.g. pre-sampled indices of a dataset). Returns aux
+        with a leading [k] axis."""
+        if self._jit_multi is None:
+            def multi(state, batches):
+                return jax.lax.scan(self._step_fn, state, batches)
+            self._jit_multi = jax.jit(multi, donate_argnums=(0,))
+        self.state, aux = self._jit_multi(self.state, batches)
         return aux
 
     @property

@@ -157,3 +157,58 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
         lo_a, hi_a = refine(lo_a, hi_a, k_lo)
         lo_b, hi_b = refine(lo_b, hi_b, k_hi)
     return 0.5 * ((lo_a + hi_a) * 0.5 + (lo_b + hi_b) * 0.5)
+
+
+def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
+    """Distributed histogram-refinement median where the particle blocks
+    circulate around the ring (ppermute) instead of being all-gathered —
+    pairs with the ring kernel pass in parallel/sharded.py. Each shard
+    accumulates the histogram of its local rows against every circulating
+    column block; psum over the axis completes the n^2 coverage."""
+    n_dev = jax.lax.axis_size(axis_name)
+    n_loc = theta_loc.shape[0]
+    n_total = n_loc * n_dev
+    rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
+
+    max_rsq = jax.lax.pmax(jnp.max(rsq_loc), axis_name)
+    hi0 = 4.0 * max_rsq + 1e-12
+    lo0 = jnp.asarray(-1e-6, theta_loc.dtype) * (1.0 + hi0)
+
+    total = n_total * n_total
+    k_lo = (total + 1) // 2
+    k_hi = total // 2 + 1
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    def ring_hist(lo, hi):
+        width = (hi - lo) / n_bins
+
+        def body(i, carry):
+            counts, blk_theta, blk_rsq = carry
+            D = (
+                rsq_loc[:, None] + blk_rsq[None, :]
+                - 2.0 * theta_loc @ blk_theta.T
+            )
+            b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+            counts = counts.at[b.ravel()].add(1)
+            blk_theta = jax.lax.ppermute(blk_theta, axis_name, perm)
+            blk_rsq = jax.lax.ppermute(blk_rsq, axis_name, perm)
+            return counts, blk_theta, blk_rsq
+
+        counts, _, _ = jax.lax.fori_loop(
+            0, n_dev, body,
+            (jnp.zeros((n_bins,), jnp.int32), theta_loc, rsq_loc),
+        )
+        return jax.lax.psum(counts, axis_name)
+
+    def refine(lo, hi, k):
+        cum = jnp.cumsum(ring_hist(lo, hi))
+        b = jnp.searchsorted(cum, k, side="left").astype(theta_loc.dtype)
+        width = (hi - lo) / n_bins
+        return lo + b * width, lo + (b + 1.0) * width
+
+    lo_a, hi_a = lo0, hi0
+    lo_b, hi_b = lo0, hi0
+    for _ in range(n_levels):
+        lo_a, hi_a = refine(lo_a, hi_a, k_lo)
+        lo_b, hi_b = refine(lo_b, hi_b, k_hi)
+    return 0.5 * ((lo_a + hi_a) * 0.5 + (lo_b + hi_b) * 0.5)

@@ -44,10 +44,50 @@ def shard_state(state, mesh, axis_name):
     )
 
 
+def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis, n_particles):
+    """Ring alternative to the all-gather kernel tiles: each shard's
+    [n_loc, p] block of [grads | theta] circulates around the particle
+    axis with ppermute while every shard accumulates its local rows'
+    K-tile contributions — peak per-device footprint O(n_loc x p) instead
+    of O(n x p), and the block transfer overlaps the tile compute
+    (SURVEY.md §5 "blocks all-gathered (or ring-passed) from peers").
+
+    Returns (attract, ktheta, ksum) for the local rows."""
+    n_dev = jax.lax.axis_size(axis)
+    p = theta_loc.shape[1]
+    gt_loc = jnp.concatenate([grads_loc, theta_loc], axis=1)
+
+    def tile(carry_block):
+        block_gt, block_rsq = carry_block
+        block_theta = block_gt[:, p:]
+        D = (
+            rsq_loc[:, None] + block_rsq[None, :]
+            - 2.0 * theta_loc @ block_theta.T
+        )
+        K = jnp.exp(-D / h2 / 2.0)
+        return K @ block_gt, jnp.sum(K, axis=1, keepdims=True)
+
+    def body(i, carry):
+        acc_both, acc_ksum, block_gt, block_rsq = carry
+        t_both, t_ksum = tile((block_gt, block_rsq))
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        block_gt = jax.lax.ppermute(block_gt, axis, perm)
+        block_rsq = jax.lax.ppermute(block_rsq, axis, perm)
+        return acc_both + t_both, acc_ksum + t_ksum, block_gt, block_rsq
+
+    acc_both = jnp.zeros((theta_loc.shape[0], 2 * p), theta_loc.dtype)
+    acc_ksum = jnp.zeros((theta_loc.shape[0], 1), theta_loc.dtype)
+    acc_both, acc_ksum, _, _ = jax.lax.fori_loop(
+        0, n_dev, body, (acc_both, acc_ksum, gt_loc, rsq_loc)
+    )
+    return acc_both[:, :p], acc_both[:, p:], acc_ksum
+
+
 def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       particle_axis="particles", median="exact",
                       max_phi_norm=10.0, donate=True,
-                      binned_bins=4096, binned_block_rows=256):
+                      binned_bins=4096, binned_block_rows=256,
+                      comm="all_gather"):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
@@ -66,50 +106,72 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
+    if comm not in ("all_gather", "ring"):
+        raise ValueError(f"unknown comm mode: {comm!r}")
+    if comm == "ring" and median == "exact":
+        raise ValueError(
+            "comm='ring' requires median='binned' (the exact median would "
+            "need the full distance matrix the ring exists to avoid)"
+        )
+
     def spmd_step(state, batch):
         theta_loc = state.particles                      # [n_loc, p]
         n_loc, p = theta_loc.shape
         log_p_vals, grads_loc = grad_all(theta_loc, batch)
-
-        # Particle block exchange: every shard needs all particles (and
-        # gradients) as kernel-matrix columns.
-        theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)  # [n, p]
-        grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
-
         rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
-        rsq_all = jnp.sum(theta_all * theta_all, axis=1)
-        # Local rows x global cols of D = r + r^T - 2 T T^T
-        # (abstract_kernel.py:33-35).
-        D_rows = (
-            rsq_loc[:, None] + rsq_all[None, :]
-            - 2.0 * theta_loc @ theta_all.T
-        )
 
-        # Global median over all n^2 entries (compute_median.py:4-16).
-        if median == "exact":
-            D_full = jax.lax.all_gather(D_rows, axis, tiled=True)
-            med = jnp.median(D_full)
-        elif median == "binned":
-            med = binned_median(
-                theta_loc, n_bins=binned_bins, block_rows=binned_block_rows,
-                axis_name=axis, theta_cols=theta_all,
+        if comm == "ring":
+            from ..ops.median import ring_binned_median
+            med = ring_binned_median(
+                theta_loc, axis, n_bins=binned_bins,
             )
+            h2 = med / jnp.log(jnp.asarray(n_particles, theta_loc.dtype))
+            attract, ktheta, ksum = _ring_kernel_pass(
+                theta_loc, grads_loc, rsq_loc, h2, axis, n_particles
+            )
+            phi = (
+                attract + (ksum * theta_loc - ktheta) / h2
+            ) / n_particles
         else:
-            raise ValueError(
-                f"unknown sharded median mode: {median!r} "
-                "(use 'exact' or 'binned')"
-            )
-        h2 = med / jnp.log(jnp.asarray(n_particles, theta_loc.dtype))
+            # Particle block exchange: every shard needs all particles (and
+            # gradients) as kernel-matrix columns.
+            theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
+            grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
 
-        K_rows = jnp.exp(-D_rows / h2 / 2.0)             # [n_loc, n]
-        ksum = jnp.sum(K_rows, axis=1, keepdims=True)
-        both = jnp.matmul(
-            K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
-            preferred_element_type=theta_loc.dtype,
-        )
-        attract = both[:, :p]
-        ktheta = both[:, p:]
-        phi = (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
+            rsq_all = jnp.sum(theta_all * theta_all, axis=1)
+            # Local rows x global cols of D = r + r^T - 2 T T^T
+            # (abstract_kernel.py:33-35).
+            D_rows = (
+                rsq_loc[:, None] + rsq_all[None, :]
+                - 2.0 * theta_loc @ theta_all.T
+            )
+
+            # Global median over all n^2 entries (compute_median.py:4-16).
+            if median == "exact":
+                D_full = jax.lax.all_gather(D_rows, axis, tiled=True)
+                med = jnp.median(D_full)
+            elif median == "binned":
+                med = binned_median(
+                    theta_loc, n_bins=binned_bins,
+                    block_rows=binned_block_rows,
+                    axis_name=axis, theta_cols=theta_all,
+                )
+            else:
+                raise ValueError(
+                    f"unknown sharded median mode: {median!r} "
+                    "(use 'exact' or 'binned')"
+                )
+            h2 = med / jnp.log(jnp.asarray(n_particles, theta_loc.dtype))
+
+            K_rows = jnp.exp(-D_rows / h2 / 2.0)         # [n_loc, n]
+            ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+            both = jnp.matmul(
+                K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
+                preferred_element_type=theta_loc.dtype,
+            )
+            attract = both[:, :p]
+            ktheta = both[:, p:]
+            phi = (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
 
         # Global Frobenius-norm clip (abstract_stein_sampler.py:125).
         norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))

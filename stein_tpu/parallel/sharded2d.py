@@ -1,0 +1,162 @@
+"""2-D sharded SVGD step: particles x parameter dimension.
+
+The workload's two scaling axes are n_particles and n_params
+(abstract_stein_sampler.py:99-105 — there is no sequence/attention axis, so
+this parameter axis is the framework's tensor-parallel analogue). For large
+models (p in the millions, e.g. wide Bayesian NNs) a pure particle sharding
+leaves each device holding full [n_local, p] rows plus two optimizer moment
+copies; sharding p as well cuts per-device state by the model-axis size and
+turns the kernel-matrix contraction into a psum over parameter shards:
+
+- theta is sharded [n/dp, p/mp] over a (particles, model) mesh;
+- D = r + r^T - 2 theta theta^T needs the *full* inner product over p:
+  each shard computes its partial row-block Gram tile against the
+  column-all-gathered particle block and the partials psum over the model
+  axis — the same contraction pattern as a row-parallel transformer matmul;
+- K then exists replicated over the model axis, and K @ [grads | theta]
+  proceeds with the p-sharded right-hand side, leaving phi p-sharded — no
+  further collective;
+- gradients: log_p needs full parameter rows, so rows are all-gathered over
+  the model axis for the vmap(grad) and the result is re-sliced to the
+  local p shard. (For the models here p-local gradient computation does not
+  decompose — log_p is not separable — so this is the honest dataflow; the
+  all-gather rides the model axis only.)
+
+The step matches the 1-D and single-device paths to fp tolerance
+(tests/test_sharded2d.py).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..api import SVGDState
+
+
+def shard_state_2d(state, mesh, particle_axis, model_axis):
+    """Place an SVGDState: [n, p] leaves sharded (particles, model),
+    scalars replicated."""
+    n, p = state.particles.shape
+
+    def spec_for(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 2 and leaf.shape == (n, p):
+            return NamedSharding(mesh, P(particle_axis, model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, spec_for(leaf)), state
+    )
+
+
+def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
+                        mesh, particle_axis="particles", model_axis="model",
+                        max_phi_norm=10.0, donate=True):
+    """Build (step_fn, jitted_step, sharded_state) over a 2-D mesh."""
+    dp = mesh.shape[particle_axis]
+    mp = mesh.shape[model_axis]
+    if n_particles % dp != 0:
+        raise ValueError(f"n_particles={n_particles} not divisible by "
+                         f"{particle_axis}={dp}")
+    if n_params % mp != 0:
+        raise ValueError(f"n_params={n_params} not divisible by "
+                         f"{model_axis}={mp} (pad the template)")
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def spmd_step(state, batch):
+        theta_blk = state.particles                   # [n_loc, p_loc]
+        n_loc, p_loc = theta_blk.shape
+
+        # Full parameter rows for the model gradient (model-axis gather).
+        theta_rows = jax.lax.all_gather(
+            theta_blk, model_axis, axis=1, tiled=True
+        )                                             # [n_loc, p]
+        log_p_vals, grads_rows = grad_all(theta_rows, batch)
+        my_m = jax.lax.axis_index(model_axis)
+        grads_blk = jax.lax.dynamic_slice_in_dim(
+            grads_rows, my_m * p_loc, p_loc, axis=1
+        )                                             # [n_loc, p_loc]
+
+        # Column blocks: all particles, local parameter shard.
+        theta_cols = jax.lax.all_gather(
+            theta_blk, particle_axis, tiled=True
+        )                                             # [n, p_loc]
+        grads_cols = jax.lax.all_gather(
+            grads_blk, particle_axis, tiled=True
+        )                                             # [n, p_loc]
+
+        # Partial Gram/distance over the local parameter shard, psum'd over
+        # the model axis -> exact D rows (abstract_kernel.py:33-35).
+        rsq_loc = jax.lax.psum(
+            jnp.sum(theta_blk * theta_blk, axis=1), model_axis
+        )                                             # [n_loc]
+        rsq_all = jax.lax.psum(
+            jnp.sum(theta_cols * theta_cols, axis=1), model_axis
+        )                                             # [n]
+        partial_gram = theta_blk @ theta_cols.T       # [n_loc, n]
+        gram = jax.lax.psum(partial_gram, model_axis)
+        D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+
+        # Global exact median over all n^2 entries (compute_median.py:4-16):
+        # row blocks live on the particle axis; gather over it.
+        D_full = jax.lax.all_gather(D_rows, particle_axis, tiled=True)
+        med = jnp.median(D_full)
+        h2 = med / jnp.log(jnp.asarray(n_particles, theta_blk.dtype))
+
+        K_rows = jnp.exp(-D_rows / h2 / 2.0)          # [n_loc, n] (replicated
+                                                      #  over model axis)
+        ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+        both = jnp.matmul(
+            K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
+            preferred_element_type=theta_blk.dtype,
+        )                                             # [n_loc, 2*p_loc]
+        attract = both[:, :p_loc]
+        ktheta = both[:, p_loc:]
+        phi = (attract + (ksum * theta_blk - ktheta) / h2) / n_particles
+
+        # Global clip: psum the squared Frobenius norm over BOTH axes.
+        sq = jnp.sum(phi * phi)
+        norm = jnp.sqrt(
+            jax.lax.psum(jax.lax.psum(sq, particle_axis), model_axis)
+        )
+        c = jnp.asarray(max_phi_norm, theta_blk.dtype)
+        phi = phi * (c / jnp.maximum(c, norm))
+
+        delta, opt_state = gd.update(state.opt_state, phi)
+        new_state = SVGDState(theta_blk + delta, opt_state, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jax.lax.pmean(
+                jnp.mean(log_p_vals), particle_axis
+            ),
+            "h2": h2,
+            "median": med,
+        }
+        return new_state, aux
+
+    blk = P(particle_axis, model_axis)
+    state_specs = SVGDState(
+        particles=blk,
+        opt_state=jax.tree_util.tree_map(
+            lambda leaf: blk if leaf.ndim == 2 and
+            leaf.shape == (n_particles, n_params) else P(),
+            state.opt_state,
+        ),
+        step=P(),
+    )
+    aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
+
+    step_fn = jax.shard_map(
+        spmd_step,
+        mesh=mesh,
+        in_specs=(state_specs, P()),
+        out_specs=(state_specs, aux_specs),
+        check_vma=False,
+    )
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn, jitted, shard_state_2d(
+        state, mesh, particle_axis, model_axis
+    )

@@ -1,0 +1,51 @@
+"""Crash recovery: periodically checkpointed training loop.
+
+The reference's training is a bare for loop — a crash loses all state
+(SURVEY.md §5, examples/logistic_regression/main.py:72-79). Here the full
+sampler state checkpoints atomically every ``ckpt_every`` steps, and the
+loop resumes from the last checkpoint on restart — the recovery story for
+long single-host runs and for multi-host jobs that restart from a common
+step (each host re-places leaves onto its mesh shards via the
+sharding-aware restore)."""
+
+import os
+
+from .checkpoint import save_checkpoint, restore_checkpoint
+
+
+def _atomic_save(path, state):
+    tmp = path + ".tmp"
+    save_checkpoint(tmp, state)
+    # np.savez appends .npz to names without an extension.
+    if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
+
+
+def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
+                        ckpt_every=1000, on_checkpoint=None):
+    """Drive ``sampler`` for ``n_iters`` total steps with periodic atomic
+    checkpoints, resuming from ``ckpt_path`` if it exists.
+
+    Parameters
+    ----------
+    make_batches : callable (start_step, k) -> batches pytree with leading
+        [k] axis — the k minibatches for steps [start_step, start_step+k).
+        Must be deterministic in start_step if bit-identical resume is
+        desired.
+    on_checkpoint : optional callable (step, aux) invoked after each saved
+        chunk (metrics/eval hook).
+
+    Returns the number of steps actually executed in this invocation.
+    """
+    if os.path.exists(ckpt_path):
+        sampler.restore(ckpt_path)
+    executed = 0
+    while (done := int(sampler.state.step)) < n_iters:
+        k = min(ckpt_every, n_iters - done)
+        aux = sampler.train_on_batches(make_batches(done, k))
+        _atomic_save(ckpt_path, sampler.state)
+        executed += k
+        if on_checkpoint is not None:
+            on_checkpoint(int(sampler.state.step), aux)
+    return executed

@@ -93,3 +93,45 @@ def test_metrics_logger(tmp_path):
     with open(csv_path) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 4  # header + 3 rows
+
+
+def test_train_with_recovery_resumes_after_crash(tmp_path):
+    """Kill the loop mid-run; a fresh process-equivalent resumes from the
+    checkpoint and finishes with exactly the no-crash trajectory."""
+    from stein_tpu.utils.recovery import train_with_recovery
+
+    ckpt = str(tmp_path / "recov.npz")
+    a, batch, model, theta0 = _setup(seed=9)
+    X, y = np.asarray(batch["X"]), np.asarray(batch["y"])
+
+    def make_batches(start, k):
+        # Deterministic in start: minibatch = rows selected by step index.
+        idx = (np.arange(k)[:, None] * 7 + start + np.arange(10)) % X.shape[0]
+        return {"X": jnp.asarray(X[idx]), "y": jnp.asarray(y[idx])}
+
+    # Uninterrupted reference run.
+    ref, _, _, _ = _setup(seed=9)
+    for s in range(0, 12, 3):
+        ref.train_on_batches(make_batches(s, 3))
+
+    # Crash after the second checkpoint chunk.
+    calls = {"n": 0}
+
+    def crash_hook(step, aux):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+
+    try:
+        train_with_recovery(a, 12, make_batches, ckpt, ckpt_every=3,
+                            on_checkpoint=crash_hook)
+    except RuntimeError:
+        pass
+    assert int(a.state.step) == 6
+
+    # "Restarted process": fresh sampler, same config, resumes from ckpt.
+    b, _, _, _ = _setup(seed=9)
+    executed = train_with_recovery(b, 12, make_batches, ckpt, ckpt_every=3)
+    assert executed == 6
+    assert int(b.state.step) == 12
+    np.testing.assert_array_equal(b.samples, ref.samples)

@@ -169,3 +169,66 @@ def test_aux_diagnostics():
     assert set(aux) >= {"phi_norm", "log_p_mean", "h2", "median"}
     assert np.isfinite(float(aux["phi_norm"]))
     assert float(aux["h2"]) > 0
+
+
+def test_run_matches_iterated_steps():
+    """run(batch, k) in one dispatch == k train_on_batch calls."""
+    X, y, theta0, model, batch = _linreg_setup(seed=11)
+    def make():
+        return SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(learning_rate=1e-1, decay=0.999),
+            theta=jnp.asarray(theta0), dtype=jnp.float64,
+        )
+    a, b = make(), make()
+    for _ in range(6):
+        a.train_on_batch(batch)
+    aux = b.run(batch, 6)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    assert np.asarray(aux["phi_norm"]).shape == (6,)
+    assert int(b.state.step) == 6
+
+
+def test_train_on_batches_matches_iterated_steps():
+    X, y, theta0, model, batch = _linreg_setup(seed=12)
+    rng = np.random.default_rng(0)
+    k, m = 5, 8
+    idx = rng.integers(0, X.shape[0], size=(k, m))
+    batches = {
+        "X": jnp.asarray(X[idx]),          # [k, m, f]
+        "y": jnp.asarray(y[idx]),          # [k, m, 1]
+    }
+    def make():
+        return SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(learning_rate=1e-1),
+            theta=jnp.asarray(theta0), dtype=jnp.float64,
+        )
+    a, b = make(), make()
+    for t in range(k):
+        a.train_on_batch({"X": batches["X"][t], "y": batches["y"][t]})
+    aux = b.train_on_batches(batches)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    assert np.asarray(aux["log_p_mean"]).shape == (k,)
+
+
+def test_run_sharded():
+    import jax as _jax
+    if _jax.device_count() < 8:
+        return
+    from stein_tpu.parallel import particle_mesh
+    X, y, theta0, model, batch = _linreg_setup(seed=13)
+    mesh = particle_mesh(_jax.devices()[:8])
+    def make(m=None):
+        return SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(learning_rate=1e-1),
+            theta=jnp.asarray(theta0), dtype=jnp.float64, mesh=m,
+        )
+    a, b = make(), make(mesh)
+    a.run(batch, 4)
+    b.run(batch, 4)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-9, atol=1e-12)

@@ -134,3 +134,36 @@ def test_nondivisible_particles_raises():
             dtype=jnp.float64,
             mesh=mesh,
         )
+
+
+@requires_8_devices
+def test_ring_comm_matches_all_gather():
+    """comm='ring' (ppermute block circulation + ring histogram median)
+    tracks the all_gather path with the same binned median."""
+    theta0, model, batch = _linreg(n_particles=64)
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, mesh=mesh,
+        median="binned",
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="all_gather", **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="ring", **common)
+    for _ in range(5):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-6, atol=1e-10)
+
+
+@requires_8_devices
+def test_ring_with_exact_median_raises():
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError):
+        SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+            mesh=mesh, median="exact", comm="ring",
+        )

@@ -1,0 +1,84 @@
+"""2-D (particles x model) sharded step vs single-device, on a 4x2 fake-CPU
+mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from stein_tpu import SVGDSampler, Adam
+from stein_tpu.api import SVGDState
+from stein_tpu.models import LinearRegressionModel
+from stein_tpu.parallel.sharded2d import make_sharded2d_step
+from stein_tpu.utils.ravel import template_unraveler
+
+requires_8_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 fake CPU devices"
+)
+
+
+def _setup(n_particles=16, n_feats=8, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(40, n_feats))
+    y = X @ rng.normal(size=(n_feats, 1)) + rng.normal(size=(40, 1)) * 0.3
+    theta0 = rng.normal(size=(n_particles, n_feats)) * 0.01
+    model = LinearRegressionModel(n_feats)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    return theta0, model, batch
+
+
+@requires_8_devices
+def test_2d_sharded_matches_single_device():
+    theta0, model, batch = _setup()
+    n, p = theta0.shape
+    gd = Adam(learning_rate=1e-1, decay=0.999)
+    n_params, unravel = template_unraveler(model.template(jnp.float64))
+    assert n_params == p
+
+    single = SVGDSampler(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64), gd=gd,
+        theta=jnp.asarray(theta0), dtype=jnp.float64,
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("particles", "model")
+    )
+    state = SVGDState(
+        particles=jnp.asarray(theta0),
+        opt_state=gd.init((n, p), jnp.float64),
+        step=jnp.zeros((), jnp.int32),
+    )
+    _, jitted, sh_state = make_sharded2d_step(
+        log_p=model.log_p, unravel_fn=unravel, gd=gd,
+        n_particles=n, n_params=p, state=state, mesh=mesh,
+    )
+    for t in range(5):
+        single.train_on_batch(batch)
+        sh_state, aux = jitted(sh_state, batch)
+        np.testing.assert_allclose(
+            np.asarray(sh_state.particles), single.samples,
+            rtol=1e-9, atol=1e-12, err_msg=f"step {t}",
+        )
+    assert np.isfinite(float(aux["phi_norm"]))
+
+
+@requires_8_devices
+def test_2d_sharded_divisibility_errors():
+    theta0, model, batch = _setup(n_particles=16, n_feats=7)
+    gd = Adam()
+    n_params, unravel = template_unraveler(model.template(jnp.float64))
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("particles", "model")
+    )
+    state = SVGDState(
+        particles=jnp.asarray(theta0),
+        opt_state=gd.init(theta0.shape, jnp.float64),
+        step=jnp.zeros((), jnp.int32),
+    )
+    with pytest.raises(ValueError):
+        make_sharded2d_step(
+            log_p=model.log_p, unravel_fn=unravel, gd=gd,
+            n_particles=16, n_params=7, state=state, mesh=mesh,
+        )
