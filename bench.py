@@ -67,18 +67,30 @@ def bench_jax(X, y, theta0):
         param_template=model.template(),
         gd=Adam(learning_rate=1e-1),
         theta=jnp.asarray(theta0, jnp.float32),
+        median="bisect",   # sort-free on-device median (sorts are the one
+                           # slow TPU primitive; see ops/median.py)
     )
-    # One dispatch per CHUNK steps (lax.scan) — the TPU-native loop shape;
-    # per-dispatch tunnel latency would otherwise dominate at this size.
-    CHUNK = 25
-    sampler.run(batch, CHUNK)  # warmup + compile
-    jax.block_until_ready(sampler.state.particles)
-    t0 = time.perf_counter()
-    for _ in range(STEPS // CHUNK + 1):
-        sampler.run(batch, CHUNK)
-    jax.block_until_ready(sampler.state.particles)
-    n_timed = (STEPS // CHUNK + 1) * CHUNK
-    return (time.perf_counter() - t0) / n_timed
+    # One dispatch per K steps (lax.scan) — the TPU-native loop shape.
+    # Timing uses the two-length slope method: on a tunneled device,
+    # block_until_ready is unreliable and a host fetch has a large fixed
+    # RTT, so we time run(k)+fetch for two K values and take the slope —
+    # the fixed dispatch/fetch costs cancel exactly.
+    K_SMALL, K_BIG = 50, 550
+
+    def timed(k, reps=3):
+        sampler.run(batch, k)              # compile
+        np.asarray(sampler.state.particles)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sampler.run(batch, k)
+            np.asarray(sampler.state.particles)   # forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = timed(K_SMALL)
+    t_big = timed(K_BIG)
+    return max(t_big - t_small, 1e-9) / (K_BIG - K_SMALL)
 
 
 def main():

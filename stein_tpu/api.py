@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops import rbf
-from .ops.median import exact_median, subsampled_sq_dist_median, binned_median
+from .ops.median import (
+    exact_median,
+    subsampled_sq_dist_median,
+    binned_median,
+    bisect_median,
+)
 from .utils.ravel import (
     template_unraveler,
     init_particles,
@@ -49,39 +54,37 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     kernel_impl="pallas": blocked fused kernel that never materialises K in
     HBM (ops/pallas_svgd.py) — the large-n path.
     """
+    if median == "exact":
+        median_fn = lambda theta: exact_median(rbf.pairwise_sq_dists(theta))
+    elif median == "subsample":
+        median_fn = lambda theta: subsampled_sq_dist_median(
+            theta, max_rows=median_max_rows
+        )
+    elif median == "bisect":
+        median_fn = lambda theta: bisect_median(
+            theta, max_rows=median_max_rows
+        )
+    elif median == "binned":
+        median_fn = lambda theta: binned_median(
+            theta, n_bins=binned_bins, block_rows=binned_block_rows
+        )
+    else:
+        raise ValueError(f"unknown median mode: {median!r}")
+
     if kernel_impl == "xla":
         if median == "exact":
+            # Reuse the materialised D for the median (no second distance
+            # computation).
             return lambda theta, grads: rbf.svgd_phi(
                 theta, grads, median_fn=exact_median
             )
-        elif median == "subsample":
-            def phi_fn(theta, grads):
-                med = subsampled_sq_dist_median(theta, max_rows=median_max_rows)
-                return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
-            return phi_fn
-        elif median == "binned":
-            def phi_fn(theta, grads):
-                med = binned_median(
-                    theta, n_bins=binned_bins, block_rows=binned_block_rows
-                )
-                return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
-            return phi_fn
-        raise ValueError(f"unknown median mode: {median!r}")
+
+        def phi_fn(theta, grads):
+            med = median_fn(theta)
+            return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
+        return phi_fn
     elif kernel_impl == "pallas":
         from .ops.pallas_svgd import pallas_svgd_phi
-
-        if median == "exact":
-            median_fn = lambda theta: exact_median(rbf.pairwise_sq_dists(theta))
-        elif median == "subsample":
-            median_fn = lambda theta: subsampled_sq_dist_median(
-                theta, max_rows=median_max_rows
-            )
-        elif median == "binned":
-            median_fn = lambda theta: binned_median(
-                theta, n_bins=binned_bins, block_rows=binned_block_rows
-            )
-        else:
-            raise ValueError(f"unknown median mode: {median!r}")
 
         def phi_fn(theta, grads):
             med = median_fn(theta)

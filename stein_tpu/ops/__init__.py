@@ -1,5 +1,10 @@
 from .rbf import pairwise_sq_dists, rbf_kernel_and_repulse, svgd_phi
-from .median import exact_median, subsampled_sq_dist_median, binned_median
+from .median import (
+    exact_median,
+    subsampled_sq_dist_median,
+    binned_median,
+    bisect_median,
+)
 from .optimizers import (
     Adam,
     Adagrad,
@@ -14,6 +19,7 @@ __all__ = [
     "exact_median",
     "subsampled_sq_dist_median",
     "binned_median",
+    "bisect_median",
     "Adam",
     "Adagrad",
     "AdamGradientDescent",

@@ -21,7 +21,6 @@ TPU-native strategy:
   median (histograms are psum-able across hosts).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +59,56 @@ def subsampled_sq_dist_median(theta, max_rows=512):
     idx = jnp.arange(max_rows) * stride
     D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
     return jnp.median(D)
+
+
+def bisect_median(theta, max_rows=512, iters=30):
+    """Sort-free median of the (row-subsampled) squared-distance matrix via
+    bisection on the value axis — the TPU-native fast path.
+
+    XLA sorts are the slowest primitive on TPU (a 5M-element sort costs
+    ~20ms on v5e — 40x the entire fused SVGD direction at n=10k). Instead:
+    compute the [m, n] distance block once, then run ``iters`` halvings of
+    the value interval, counting |{D <= mid}| per step (a streaming VPU
+    compare+sum over the cached block). Two searches run in the same loop
+    for the two middle order statistics. After 30 halvings the interval is
+    2^-30 of the value range — below fp32 resolution, i.e. exact for the
+    subsample. With max_rows >= n this is the exact full median.
+    """
+    n = theta.shape[0]
+    rowsq = jnp.sum(theta * theta, axis=1)
+    if n <= max_rows:
+        D = _row_block_sq_dists(theta, theta, rowsq, rowsq)
+    else:
+        stride = n // max_rows
+        idx = jnp.arange(max_rows) * stride
+        D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+
+    total = D.size
+    k_lo = (total + 1) // 2
+    k_hi = total // 2 + 1
+    lo0 = jnp.minimum(jnp.min(D), 0.0)
+    hi0 = jnp.max(D)
+
+    def body(_, carry):
+        lo_a, hi_a, lo_b, hi_b = carry
+        mid_a = 0.5 * (lo_a + hi_a)
+        mid_b = 0.5 * (lo_b + hi_b)
+        # One streaming pass over D serves both searches.
+        cnt_a = jnp.sum(D <= mid_a)
+        cnt_b = jnp.sum(D <= mid_b)
+        go_lo_a = cnt_a >= k_lo     # k_lo-th smallest is <= mid_a
+        go_lo_b = cnt_b >= k_hi
+        return (
+            jnp.where(go_lo_a, lo_a, mid_a),
+            jnp.where(go_lo_a, mid_a, hi_a),
+            jnp.where(go_lo_b, lo_b, mid_b),
+            jnp.where(go_lo_b, mid_b, hi_b),
+        )
+
+    lo_a, hi_a, lo_b, hi_b = jax.lax.fori_loop(
+        0, iters, body, (lo0, hi0, lo0, hi0)
+    )
+    return 0.5 * (0.5 * (lo_a + hi_a) + 0.5 * (lo_b + hi_b))
 
 
 def _block_histogram(theta, rowsq, theta_cols, colsq, lo, hi, n_bins,

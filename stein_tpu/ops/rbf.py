@@ -20,7 +20,6 @@ Semantics reproduced exactly (see baselines/numpy_svgd.py for derivations):
 - phi = (K @ grads + dK) / n       (abstract_stein_sampler.py:105)
 """
 
-import jax
 import jax.numpy as jnp
 
 from .median import exact_median

@@ -17,8 +17,6 @@ Replaces the reference's sequential per-particle loop
   every shard.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -90,3 +90,49 @@ def test_binned_median_nondivisible_blocks():
                       block_rows=128)
     )
     assert abs(med - exact) / exact < 1e-4
+
+
+def test_bisect_median_exact_small():
+    from stein_tpu.ops.median import bisect_median
+    rng = np.random.default_rng(12)
+    theta = rng.normal(size=(100, 7))
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    exact = np.median(D.ravel())
+    med = float(bisect_median(jnp.asarray(theta), max_rows=128, iters=50))
+    # 50 halvings: exact to fp resolution of the subsample (= full matrix).
+    assert abs(med - exact) / exact < 1e-9
+
+
+def test_bisect_median_subsampled_close():
+    from stein_tpu.ops.median import bisect_median
+    rng = np.random.default_rng(13)
+    theta = rng.normal(size=(512, 7))
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    exact = np.median(D.ravel())
+    med = float(bisect_median(jnp.asarray(theta), max_rows=128))
+    assert abs(med - exact) / exact < 0.05
+
+
+def test_sampler_bisect_median_mode():
+    """median='bisect' end-to-end tracks the exact-median sampler when the
+    subsample covers all rows (medians then agree to fp resolution)."""
+    import jax
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    rng = np.random.default_rng(14)
+    X = rng.normal(size=(40, 3))
+    y = X @ rng.normal(size=(3, 1))
+    model = LinearRegressionModel(3)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    theta0 = rng.normal(size=(16, 3)) * 0.01
+    common = dict(
+        n_particles=16, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64,
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), median="exact", **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), median="bisect", **common)
+    for _ in range(5):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-6, atol=1e-9)
