@@ -99,16 +99,22 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
 
 
-def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0):
+def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
+                 remat=False):
     """Build the pure SVGD step: (state, batch) -> (state, aux).
 
     Collapses the reference's stack-3.2 hot path
     (abstract_stein_sampler.py:107-127 + stein_sampler.py:50-71) into one
-    traced function.
+    traced function. ``remat=True`` rematerialises the log-posterior
+    forward pass in the backward (jax.checkpoint) — trades FLOPs for HBM
+    when the model's activations x n_particles would not fit.
     """
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
@@ -162,7 +168,7 @@ class SVGDSampler:
                  median="exact", kernel_impl="xla", median_max_rows=512,
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
                  donate=True, pallas_block=512, pallas_interpret=False,
-                 model_axis=None, comm="all_gather"):
+                 model_axis=None, comm="all_gather", remat=False):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -214,7 +220,7 @@ class SVGDSampler:
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,
-                max_phi_norm=max_phi_norm,
+                max_phi_norm=max_phi_norm, remat=remat,
             )
             donate_argnums = (0,) if donate else ()
             self._jit_step = jax.jit(

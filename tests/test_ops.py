@@ -98,8 +98,8 @@ def test_bisect_median_exact_small():
     theta = rng.normal(size=(100, 7))
     D = numpy_svgd.pairwise_sq_dists(theta)
     exact = np.median(D.ravel())
-    med = float(bisect_median(jnp.asarray(theta), max_rows=128, iters=50))
-    # 50 halvings: exact to fp resolution of the subsample (= full matrix).
+    med = float(bisect_median(jnp.asarray(theta), max_rows=128, passes=50))
+    # 50 halvings: exact to fp resolution of the full matrix.
     assert abs(med - exact) / exact < 1e-9
 
 

@@ -232,3 +232,20 @@ def test_run_sharded():
     a.run(batch, 4)
     b.run(batch, 4)
     np.testing.assert_allclose(b.samples, a.samples, rtol=1e-9, atol=1e-12)
+
+
+def test_remat_matches_plain():
+    """jax.checkpoint'd gradients are numerically identical."""
+    X, y, theta0, model, batch = _linreg_setup(seed=21)
+    def make(remat):
+        return SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(learning_rate=1e-1),
+            theta=jnp.asarray(theta0), dtype=jnp.float64, remat=remat,
+        )
+    a, b = make(False), make(True)
+    for _ in range(3):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_array_equal(a.samples, b.samples)
