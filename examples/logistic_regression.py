@@ -45,9 +45,11 @@ def main():
     ap.add_argument("--n-batch", type=int, default=50)
     ap.add_argument("--n-prog", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-data", type=int, default=20000,
+                    help="dataset rows (581012 = true Covertype scale)")
     args = ap.parse_args()
 
-    X, y = generate_data(args.seed)
+    X, y = generate_data(args.seed, n=args.n_data)
     n_total = X.shape[0]
     rng = np.random.default_rng(args.seed + 1)
     perm = rng.permutation(n_total)

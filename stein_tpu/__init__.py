@@ -15,6 +15,7 @@ from .ops.optimizers import (
     AdamGradientDescent,
     AdagradGradientDescent,
 )
+from .kernels import SquaredExponentialKernel, InverseMultiquadricKernel
 
 __all__ = [
     "__version__",
@@ -25,4 +26,6 @@ __all__ = [
     "Adagrad",
     "AdamGradientDescent",
     "AdagradGradientDescent",
+    "SquaredExponentialKernel",
+    "InverseMultiquadricKernel",
 ]

@@ -45,7 +45,7 @@ class SVGDState(NamedTuple):
 
 def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
                 median_max_rows=512, binned_bins=4096, binned_block_rows=256,
-                pallas_block=512, pallas_interpret=False):
+                pallas_block=512, pallas_interpret=False, kernel=None):
     """Build phi_fn(theta, grads) -> (phi, aux) for the requested backend.
 
     kernel_impl="xla": materialise the [n, n] kernel once; XLA fuses the
@@ -70,6 +70,24 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
         )
     else:
         raise ValueError(f"unknown median mode: {median!r}")
+
+    if kernel is not None:
+        # Pluggable non-RBF kernel (stein_tpu.kernels): generic two-matrix
+        # XLA path.
+        from .kernels import SquaredExponentialKernel, generic_svgd_phi
+        if not isinstance(kernel, SquaredExponentialKernel):
+            if kernel_impl != "xla":
+                raise ValueError(
+                    "kernel_impl='pallas' supports only the RBF kernel; "
+                    "use kernel_impl='xla' for custom kernels"
+                )
+
+            def phi_fn(theta, grads):
+                med = median_fn(theta)
+                return generic_svgd_phi(
+                    kernel, theta, grads, median_fn=lambda D: med
+                )
+            return phi_fn
 
     if kernel_impl == "xla":
         if median == "exact":
@@ -168,7 +186,8 @@ class SVGDSampler:
                  median="exact", kernel_impl="xla", median_max_rows=512,
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
                  donate=True, pallas_block=512, pallas_interpret=False,
-                 model_axis=None, comm="all_gather", remat=False):
+                 model_axis=None, comm="all_gather", remat=False,
+                 kernel=None):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -216,7 +235,7 @@ class SVGDSampler:
             phi_fn = make_phi_fn(
                 self.n_particles, median=median, kernel_impl=kernel_impl,
                 median_max_rows=median_max_rows, pallas_block=pallas_block,
-                pallas_interpret=pallas_interpret,
+                pallas_interpret=pallas_interpret, kernel=kernel,
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,

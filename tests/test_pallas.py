@@ -74,3 +74,21 @@ def test_sampler_with_pallas_kernel_impl():
         a.train_on_batch(batch)
         b.train_on_batch(batch)
     np.testing.assert_allclose(b.samples, a.samples, rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_bf16_precision_close():
+    rng = np.random.default_rng(6)
+    n, p = 64, 16
+    theta = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    grads = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    from stein_tpu.ops.median import exact_median
+    h2 = rbf.bandwidth_sq_from_median(
+        exact_median(rbf.pairwise_sq_dists(theta)), n
+    )
+    phi_ref, _ = rbf.svgd_phi(theta, grads)
+    phi_bf16 = pallas_svgd_phi(theta, grads, h2, block_i=32, block_j=32,
+                               interpret=True, precision="bf16")
+    # bf16 Gram: ~1e-2 relative tolerance.
+    np.testing.assert_allclose(
+        np.asarray(phi_bf16), np.asarray(phi_ref), rtol=0.05, atol=5e-3
+    )
