@@ -267,6 +267,7 @@ class SVGDSampler:
         self._posterior_cache = {}
         self._jit_run = None
         self._jit_multi = None
+        self._jit_ksd = None
 
     # ------------------------------------------------------------------ API
 
@@ -318,6 +319,24 @@ class SVGDSampler:
         """Particles as a pytree of [n_particles, *shape] leaves (the
         reference's theta dict, abstract_stein_sampler.py:66-74)."""
         return unravel_particles(self.state.particles, self.unravel_fn)
+
+    def ksd(self, batch, u_statistic=False):
+        """Kernel Stein discrepancy of the current particles w.r.t. the
+        target defined by log_p on ``batch`` — a quantitative convergence
+        diagnostic (smaller = closer to stationarity). One jitted device
+        call (scores + KSD matmuls)."""
+        if self._jit_ksd is None:
+            from .ops.diagnostics import ksd_rbf
+
+            def compute(theta, b, u):
+                def log_p_flat(row, bb):
+                    return self.log_p(self.unravel_fn(row), bb)
+                grads = jax.vmap(
+                    jax.grad(log_p_flat), in_axes=(0, None)
+                )(theta, b)
+                return ksd_rbf(theta, grads, u_statistic=u)
+            self._jit_ksd = jax.jit(compute, static_argnums=(2,))
+        return float(self._jit_ksd(self.state.particles, batch, u_statistic))
 
     def save(self, path):
         """Checkpoint the full sampler state (particles, optimizer moments,
