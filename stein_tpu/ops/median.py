@@ -93,6 +93,26 @@ def bisect_median(theta, max_rows=512, passes=30):
     lo0 = jnp.minimum(jnp.min(D), 0.0)
     hi0 = jnp.max(D)
 
+    # For large subsamples the two middle order statistics are separated
+    # by ~1/total of the distribution — far below the bandwidth
+    # heuristic's sensitivity — so a single rank search suffices and
+    # halves the streaming traffic. Small totals keep both ranks so the
+    # even-count median matches np.median exactly.
+    single_rank = total > 1_000_000
+
+    if single_rank:
+        def body(_, carry):
+            lo_a, hi_a = carry
+            mid_a = 0.5 * (lo_a + hi_a)
+            go_lo = jnp.sum(D <= mid_a) >= k_lo
+            return (
+                jnp.where(go_lo, lo_a, mid_a),
+                jnp.where(go_lo, mid_a, hi_a),
+            )
+
+        lo_a, hi_a = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
+        return 0.5 * (lo_a + hi_a)
+
     def body(_, carry):
         lo_a, hi_a, lo_b, hi_b = carry
         mid_a = 0.5 * (lo_a + hi_a)

@@ -1,0 +1,29 @@
+"""Smoke tests: every example script runs end-to-end (tiny configs, CPU)."""
+
+import runpy
+import sys
+
+import pytest
+
+
+EXAMPLES = [
+    ("examples/linear_regression.py", ["--n-iters", "120"]),
+    ("examples/logistic_regression.py",
+     ["--n-iters", "40", "--n-particles", "8", "--n-prog", "20",
+      "--n-data", "500"]),
+    ("examples/regression_neural_network.py",
+     ["--n-iters", "40", "--n-particles", "4", "--n-hidden", "8",
+      "--n-prog", "20"]),
+    ("examples/large_particle.py",
+     ["--n-particles", "64", "--n-feats", "4", "--n-obs", "50",
+      "--n-iters", "21", "--chunk", "10", "--kernel-impl", "xla"]),
+]
+
+
+@pytest.mark.parametrize("script,args", EXAMPLES,
+                         ids=[e[0].split("/")[-1] for e in EXAMPLES])
+def test_example_runs(script, args, capsys, monkeypatch):
+    monkeypatch.setattr(sys, "argv", [script] + args)
+    runpy.run_path(script, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "Time elapsed" in out or "steps/s" in out or "posterior" in out
