@@ -56,19 +56,22 @@ def main():
         median=args.median,
     )
 
-    # Warmup/compile dispatch.
-    sampler.run(batch, 1)
-    jax.block_until_ready(sampler.state.particles)
+    # Warmup compiles the scan at the exact chunk length used below (a
+    # different length would recompile inside the timed loop).
+    sampler.run(batch, args.chunk)
+    np.asarray(sampler.state.particles)   # force completion (tunneled
+                                          # devices: block_until_ready is
+                                          # not reliable)
 
     t0 = time.time()
-    done = 1
+    done = args.chunk
     while done < args.n_iters:
         k = min(args.chunk, args.n_iters - done)
         aux = sampler.run(batch, k)
         done += k
-    jax.block_until_ready(sampler.state.particles)
+    np.asarray(sampler.state.particles)
     dt = time.time() - t0
-    steps = args.n_iters - 1
+    steps = done - args.chunk
     print(f"{steps} steps of n={args.n_particles} particles in {dt:.2f}s "
           f"-> {steps / dt:.1f} steps/s, "
           f"{args.n_particles * steps / dt / 1e6:.1f}M particle-updates/s "

@@ -34,14 +34,38 @@ def generate_data(seed=0, n=1000, k=1):
     return data_X, data_w, data_y
 
 
+def load_csv_data(data_dir):
+    """Load the reference's CSV layout (examples/linear_regression/data):
+    data_X.csv, data_w.csv, data_y.csv."""
+    data_X = np.loadtxt(os.path.join(data_dir, "data_X.csv"), delimiter=",")
+    if data_X.ndim == 1:
+        data_X = np.atleast_2d(data_X).T
+    data_w = np.atleast_2d(
+        np.loadtxt(os.path.join(data_dir, "data_w.csv"), delimiter=",")
+    ).T
+    data_y = np.atleast_2d(
+        np.loadtxt(os.path.join(data_dir, "data_y.csv"), delimiter=",")
+    ).T
+    return data_X, data_w, data_y
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-iters", type=int, default=500)
     ap.add_argument("--n-particles", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--data-dir", type=str, default=None,
+                    help="load the reference's CSV data layout instead of "
+                         "generating")
+    ap.add_argument("--plot", type=str, default=None,
+                    help="save the posterior-lines figure (the reference "
+                         "example's visualisation) to this path")
     args = ap.parse_args()
 
-    data_X, data_w, data_y = generate_data(args.seed)
+    if args.data_dir:
+        data_X, data_w, data_y = load_csv_data(args.data_dir)
+    else:
+        data_X, data_w, data_y = generate_data(args.seed)
     n_samples, n_feats = data_X.shape
     model = LinearRegressionModel(n_feats)
     batch = {"X": jnp.asarray(data_X, jnp.float32),
@@ -77,6 +101,24 @@ def main():
     A = data_X.T @ data_X + np.eye(n_feats)
     post_mean = np.linalg.solve(A, data_X.T @ data_y).ravel()
     print(f"Conjugate posterior mean: {post_mean}")
+
+    # Posterior-lines visualisation, as the reference example draws
+    # (linear_regression/main.py:57-68) — saved, not shown.
+    if args.plot and n_feats == 1:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        r = np.atleast_2d(np.linspace(-4.0, 4.0, num=100)).T
+        W = np.asarray(sampler.theta["w"])[:, :, 0]         # [n_part, 1]
+        Y = (r @ W.T).T                                      # [n_part, 100]
+        plt.figure(figsize=(8, 6))
+        plt.plot(data_X.ravel(), data_y.ravel(), "r.", alpha=0.3)
+        for i in range(args.n_particles):
+            plt.plot(r.ravel(), Y[i], "b-", alpha=0.1)
+        plt.grid()
+        plt.xlim((-4.0, 4.0))
+        plt.savefig(args.plot, dpi=120)
+        print(f"Saved figure to {args.plot}")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,8 @@ def main():
     ap.add_argument("--n-batch", type=int, default=20)
     ap.add_argument("--n-prog", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--plot", type=str, default=None,
+                    help="save the posterior-predictive figure to this path")
     ap.add_argument("--prior-beta", type=float, default=0.01,
                     help="rate of the Gamma precision priors; the reference "
                          "value 0.01 makes the ARD-collapse mode dominate "
@@ -100,6 +102,24 @@ def main():
     mse = np.mean((y_train.ravel() - y_hat.mean(axis=0)) ** 2)
     print(f"Final MSE: {mse:.4f}")
     print(f"Time elapsed: {time.time() - start:.2f}s")
+
+    # Posterior predictive curves, as the reference example draws
+    # (regression_neural_network/main.py:104-112) — saved, not shown.
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        r = np.atleast_2d(np.linspace(0.0, 1.5, num=200)).T
+        y_vis = sampler.function_posterior(
+            model.predict, {"X": jnp.asarray(r, jnp.float32)}
+        )
+        plt.figure()
+        plt.plot(X_train.ravel(), y_train.ravel(), "r.")
+        for i in range(args.n_particles):
+            plt.plot(r.ravel(), y_vis[i], "b-", alpha=0.3)
+        plt.grid()
+        plt.savefig(args.plot, dpi=120)
+        print(f"Saved figure to {args.plot}")
 
 
 if __name__ == "__main__":
