@@ -102,6 +102,14 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
             return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
         return phi_fn
     elif kernel_impl == "pallas":
+        if median == "exact":
+            raise ValueError(
+                "kernel_impl='pallas' streams the kernel matrix precisely "
+                "to avoid materialising the n^2 distance matrix, but "
+                "median='exact' would materialise it anyway — use "
+                "median='bisect' (recommended), 'subsample', or 'binned', "
+                "or kernel_impl='xla' for the exact median"
+            )
         from .ops.pallas_svgd import pallas_svgd_phi
 
         def phi_fn(theta, grads):
@@ -175,10 +183,23 @@ class SVGDSampler:
     theta : optional initial particles — an [n, p] matrix or a pytree of
         [n, *shape] leaves matching ``param_template``.
     dtype : particle/compute dtype (float32 default).
-    median : "exact" | "subsample" | "binned" bandwidth median.
-    kernel_impl : "xla" | "pallas".
+    median : "exact" | "subsample" | "bisect" | "binned" bandwidth median.
+        "exact" is the reference semantics (sorts the full D — slow on TPU
+        beyond a few thousand particles); "bisect" is the sort-free fast
+        path (exact to fp resolution on a strided row subsample);
+        "binned" is the streaming psum-able histogram used distributed.
+    kernel_impl : "xla" | "pallas". "pallas" (the large-n streaming kernel)
+        requires a median mode that does not materialise D, i.e. not
+        "exact".
+    binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
-        multi-chip execution (stein_tpu.parallel).
+        multi-chip execution (stein_tpu.parallel). With a mesh,
+        kernel_impl/kernel are not configurable (the sharded step has its
+        own tiled RBF path) and raise if set to non-defaults.
+    model_axis : optional second mesh axis name to additionally shard the
+        parameter dimension (stein_tpu.parallel.sharded2d).
+    comm : "all_gather" | "ring" block exchange for the 1-D sharded step.
+    remat : rematerialise log_p's forward in the backward (jax.checkpoint).
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -187,7 +208,7 @@ class SVGDSampler:
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
                  donate=True, pallas_block=512, pallas_interpret=False,
                  model_axis=None, comm="all_gather", remat=False,
-                 kernel=None):
+                 kernel=None, binned_bins=4096, binned_block_rows=256):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -231,11 +252,13 @@ class SVGDSampler:
         opt_state = gd.init(theta0.shape, dtype)
         state = SVGDState(theta0, opt_state, jnp.zeros((), jnp.int32))
 
+        self._donate = bool(donate)
         if mesh is None:
             phi_fn = make_phi_fn(
                 self.n_particles, median=median, kernel_impl=kernel_impl,
                 median_max_rows=median_max_rows, pallas_block=pallas_block,
                 pallas_interpret=pallas_interpret, kernel=kernel,
+                binned_bins=binned_bins, binned_block_rows=binned_block_rows,
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,
@@ -246,23 +269,45 @@ class SVGDSampler:
                 self._step_fn, donate_argnums=donate_argnums
             )
             self.state = state
-        elif model_axis is not None:
-            from .parallel.sharded2d import make_sharded2d_step
-            self._step_fn, self._jit_step, self.state = make_sharded2d_step(
-                log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
-                n_particles=self.n_particles, n_params=self.n_params,
-                state=state, mesh=mesh, particle_axis=particle_axis,
-                model_axis=model_axis, max_phi_norm=max_phi_norm,
-                donate=donate,
-            )
         else:
-            from .parallel.sharded import make_sharded_step, shard_state
-            self._step_fn, self._jit_step, self.state = make_sharded_step(
-                log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
-                n_particles=self.n_particles, state=state, mesh=mesh,
-                particle_axis=particle_axis, median=median,
-                max_phi_norm=max_phi_norm, donate=donate, comm=comm,
-            )
+            # The sharded steps implement their own tiled RBF kernel path;
+            # options they cannot honour must fail loudly, not silently
+            # fall back (a custom kernel silently replaced by RBF would
+            # sample the wrong posterior geometry).
+            if kernel is not None:
+                from .kernels import SquaredExponentialKernel
+                if not isinstance(kernel, SquaredExponentialKernel):
+                    raise NotImplementedError(
+                        "custom kernels are not yet supported on a mesh — "
+                        "the sharded step is hard-wired to the RBF kernel"
+                    )
+            if kernel_impl != "xla":
+                raise ValueError(
+                    "kernel_impl is not configurable with a mesh; the "
+                    "sharded step uses its own tiled kernel path"
+                )
+            if model_axis is not None:
+                from .parallel.sharded2d import make_sharded2d_step
+                self._step_fn, self._jit_step, self.state = \
+                    make_sharded2d_step(
+                        log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
+                        n_particles=self.n_particles,
+                        n_params=self.n_params,
+                        state=state, mesh=mesh, particle_axis=particle_axis,
+                        model_axis=model_axis, max_phi_norm=max_phi_norm,
+                        donate=donate, remat=remat,
+                    )
+            else:
+                from .parallel.sharded import make_sharded_step
+                self._step_fn, self._jit_step, self.state = \
+                    make_sharded_step(
+                        log_p=log_p, unravel_fn=self.unravel_fn, gd=gd,
+                        n_particles=self.n_particles, state=state, mesh=mesh,
+                        particle_axis=particle_axis, median=median,
+                        max_phi_norm=max_phi_norm, donate=donate, comm=comm,
+                        binned_bins=binned_bins,
+                        binned_block_rows=binned_block_rows, remat=remat,
+                    )
 
         self._posterior_cache = {}
         self._jit_run = None
@@ -291,7 +336,8 @@ class SVGDSampler:
                     length=n,
                 )
             self._jit_run = jax.jit(
-                multi, static_argnums=(2,), donate_argnums=(0,)
+                multi, static_argnums=(2,),
+                donate_argnums=(0,) if self._donate else (),
             )
         self.state, aux = self._jit_run(self.state, batch, int(n_steps))
         return aux
@@ -304,7 +350,9 @@ class SVGDSampler:
         if self._jit_multi is None:
             def multi(state, batches):
                 return jax.lax.scan(self._step_fn, state, batches)
-            self._jit_multi = jax.jit(multi, donate_argnums=(0,))
+            self._jit_multi = jax.jit(
+                multi, donate_argnums=(0,) if self._donate else ()
+            )
         self.state, aux = self._jit_multi(self.state, batches)
         return aux
 

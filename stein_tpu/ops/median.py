@@ -90,6 +90,10 @@ def bisect_median(theta, max_rows=512, passes=30):
     total = D.size
     k_lo = (total + 1) // 2
     k_hi = total // 2 + 1
+    # Count in f32 when int32 would overflow (subsample > 2^31 entries).
+    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
+    k_lo_c = jnp.asarray(k_lo, cdt)
+    k_hi_c = jnp.asarray(k_hi, cdt)
     lo0 = jnp.minimum(jnp.min(D), 0.0)
     hi0 = jnp.max(D)
 
@@ -104,7 +108,7 @@ def bisect_median(theta, max_rows=512, passes=30):
         def body(_, carry):
             lo_a, hi_a = carry
             mid_a = 0.5 * (lo_a + hi_a)
-            go_lo = jnp.sum(D <= mid_a) >= k_lo
+            go_lo = jnp.sum(D <= mid_a, dtype=cdt) >= k_lo_c
             return (
                 jnp.where(go_lo, lo_a, mid_a),
                 jnp.where(go_lo, mid_a, hi_a),
@@ -117,10 +121,10 @@ def bisect_median(theta, max_rows=512, passes=30):
         lo_a, hi_a, lo_b, hi_b = carry
         mid_a = 0.5 * (lo_a + hi_a)
         mid_b = 0.5 * (lo_b + hi_b)
-        cnt_a = jnp.sum(D <= mid_a)
-        cnt_b = jnp.sum(D <= mid_b)
-        go_lo_a = cnt_a >= k_lo     # k_lo-th smallest is <= mid_a
-        go_lo_b = cnt_b >= k_hi
+        cnt_a = jnp.sum(D <= mid_a, dtype=cdt)
+        cnt_b = jnp.sum(D <= mid_b, dtype=cdt)
+        go_lo_a = cnt_a >= k_lo_c   # k_lo-th smallest is <= mid_a
+        go_lo_b = cnt_b >= k_hi_c
         return (
             jnp.where(go_lo_a, lo_a, mid_a),
             jnp.where(go_lo_a, mid_a, hi_a),
@@ -149,10 +153,13 @@ def _block_histogram(theta, rowsq, theta_cols, colsq, lo, hi, n_bins,
     n_blocks = n // block_rows
     width = (hi - lo) / n_bins
 
+    # Counts accumulate in float32: totals reach n^2, which overflows int32
+    # beyond n=46341; f32's ~1e-7 relative rank error is far below a
+    # histogram bin's resolution.
     def block_counts(rows, rsq):
         D = _row_block_sq_dists(rows, theta_cols, rsq, colsq)
         b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
-        return jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
+        return jnp.zeros((n_bins,), jnp.float32).at[b.ravel()].add(1.0)
 
     def body(carry, i):
         start = i * block_rows
@@ -161,7 +168,7 @@ def _block_histogram(theta, rowsq, theta_cols, colsq, lo, hi, n_bins,
         return carry + block_counts(rows, rsq), None
 
     counts, _ = jax.lax.scan(
-        body, jnp.zeros((n_bins,), jnp.int32), jnp.arange(n_blocks)
+        body, jnp.zeros((n_bins,), jnp.float32), jnp.arange(n_blocks)
     )
     # Remainder rows (n not divisible by block_rows).
     rem = n - n_blocks * block_rows
@@ -219,7 +226,9 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
         if axis_name is not None:
             counts = jax.lax.psum(counts, axis_name)
         cum = jnp.cumsum(counts)
-        b = jnp.searchsorted(cum, k, side="left").astype(theta.dtype)
+        b = jnp.searchsorted(
+            cum, jnp.float32(k), side="left"
+        ).astype(theta.dtype)
         width = (hi - lo) / n_bins
         return lo + b * width, lo + (b + 1.0) * width
 
@@ -256,25 +265,26 @@ def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
 
         def body(i, carry):
             counts, blk_theta, blk_rsq = carry
-            D = (
-                rsq_loc[:, None] + blk_rsq[None, :]
-                - 2.0 * theta_loc @ blk_theta.T
-            )
+            D = _row_block_sq_dists(theta_loc, blk_theta, rsq_loc, blk_rsq)
             b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
-            counts = counts.at[b.ravel()].add(1)
+            # float32 counts: see _block_histogram (int32 overflows at
+            # n > 46341).
+            counts = counts.at[b.ravel()].add(1.0)
             blk_theta = jax.lax.ppermute(blk_theta, axis_name, perm)
             blk_rsq = jax.lax.ppermute(blk_rsq, axis_name, perm)
             return counts, blk_theta, blk_rsq
 
         counts, _, _ = jax.lax.fori_loop(
             0, n_dev, body,
-            (jnp.zeros((n_bins,), jnp.int32), theta_loc, rsq_loc),
+            (jnp.zeros((n_bins,), jnp.float32), theta_loc, rsq_loc),
         )
         return jax.lax.psum(counts, axis_name)
 
     def refine(lo, hi, k):
         cum = jnp.cumsum(ring_hist(lo, hi))
-        b = jnp.searchsorted(cum, k, side="left").astype(theta_loc.dtype)
+        b = jnp.searchsorted(
+            cum, jnp.float32(k), side="left"
+        ).astype(theta_loc.dtype)
         width = (hi - lo) / n_bins
         return lo + b * width, lo + (b + 1.0) * width
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..api import SVGDState
-from ..ops.median import binned_median
+from ..ops.median import binned_median, _row_block_sq_dists
+from ..ops.rbf import bandwidth_sq_from_median
 
 
 def shard_state(state, mesh, axis_name):
@@ -42,7 +43,7 @@ def shard_state(state, mesh, axis_name):
     )
 
 
-def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis, n_particles):
+def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis):
     """Ring alternative to the all-gather kernel tiles: each shard's
     [n_loc, p] block of [grads | theta] circulates around the particle
     axis with ppermute while every shard accumulates its local rows'
@@ -58,10 +59,7 @@ def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis, n_particles):
     def tile(carry_block):
         block_gt, block_rsq = carry_block
         block_theta = block_gt[:, p:]
-        D = (
-            rsq_loc[:, None] + block_rsq[None, :]
-            - 2.0 * theta_loc @ block_theta.T
-        )
+        D = _row_block_sq_dists(theta_loc, block_theta, rsq_loc, block_rsq)
         K = jnp.exp(-D / h2 / 2.0)
         return K @ block_gt, jnp.sum(K, axis=1, keepdims=True)
 
@@ -85,7 +83,7 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       particle_axis="particles", median="exact",
                       max_phi_norm=10.0, donate=True,
                       binned_bins=4096, binned_block_rows=256,
-                      comm="all_gather"):
+                      comm="all_gather", remat=False):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
@@ -101,6 +99,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
@@ -123,9 +124,11 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             med = ring_binned_median(
                 theta_loc, axis, n_bins=binned_bins,
             )
-            h2 = med / jnp.log(jnp.asarray(n_particles, theta_loc.dtype))
+            h2 = bandwidth_sq_from_median(
+                med.astype(theta_loc.dtype), n_particles
+            )
             attract, ktheta, ksum = _ring_kernel_pass(
-                theta_loc, grads_loc, rsq_loc, h2, axis, n_particles
+                theta_loc, grads_loc, rsq_loc, h2, axis
             )
             phi = (
                 attract + (ksum * theta_loc - ktheta) / h2
@@ -139,9 +142,8 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             rsq_all = jnp.sum(theta_all * theta_all, axis=1)
             # Local rows x global cols of D = r + r^T - 2 T T^T
             # (abstract_kernel.py:33-35).
-            D_rows = (
-                rsq_loc[:, None] + rsq_all[None, :]
-                - 2.0 * theta_loc @ theta_all.T
+            D_rows = _row_block_sq_dists(
+                theta_loc, theta_all, rsq_loc, rsq_all
             )
 
             # Global median over all n^2 entries (compute_median.py:4-16).
@@ -159,7 +161,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                     f"unknown sharded median mode: {median!r} "
                     "(use 'exact' or 'binned')"
                 )
-            h2 = med / jnp.log(jnp.asarray(n_particles, theta_loc.dtype))
+            h2 = bandwidth_sq_from_median(
+                med.astype(theta_loc.dtype), n_particles
+            )
 
             K_rows = jnp.exp(-D_rows / h2 / 2.0)         # [n_loc, n]
             ksum = jnp.sum(K_rows, axis=1, keepdims=True)

@@ -50,7 +50,7 @@ def shard_state_2d(state, mesh, particle_axis, model_axis):
 
 def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
                         mesh, particle_axis="particles", model_axis="model",
-                        max_phi_norm=10.0, donate=True):
+                        max_phi_norm=10.0, donate=True, remat=False):
     """Build (step_fn, jitted_step, sharded_state) over a 2-D mesh."""
     dp = mesh.shape[particle_axis]
     mp = mesh.shape[model_axis]
@@ -63,6 +63,9 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
@@ -104,7 +107,8 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
         # row blocks live on the particle axis; gather over it.
         D_full = jax.lax.all_gather(D_rows, particle_axis, tiled=True)
         med = jnp.median(D_full)
-        h2 = med / jnp.log(jnp.asarray(n_particles, theta_blk.dtype))
+        from ..ops.rbf import bandwidth_sq_from_median
+        h2 = bandwidth_sq_from_median(med, n_particles)
 
         K_rows = jnp.exp(-D_rows / h2 / 2.0)          # [n_loc, n] (replicated
                                                       #  over model axis)

@@ -12,10 +12,15 @@ import jax
 
 
 def save_checkpoint(path, state):
-    """Serialise a state pytree to ``path`` (.npz)."""
+    """Serialise a state pytree to ``path`` (npz format; the file lands at
+    exactly ``path`` — np.savez's implicit '.npz' suffix is undone so
+    save/restore round-trip for any path)."""
+    import os
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     np.savez(path, **arrays)
+    if not str(path).endswith(".npz") and os.path.exists(str(path) + ".npz"):
+        os.replace(str(path) + ".npz", path)
 
 
 def restore_checkpoint(path, like_state):

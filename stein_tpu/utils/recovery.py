@@ -15,10 +15,7 @@ from .checkpoint import save_checkpoint, restore_checkpoint
 
 def _atomic_save(path, state):
     tmp = path + ".tmp"
-    save_checkpoint(tmp, state)
-    # np.savez appends .npz to names without an extension.
-    if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
-        tmp = tmp + ".npz"
+    save_checkpoint(tmp, state)   # lands at exactly tmp (checkpoint.py)
     os.replace(tmp, path)
 
 

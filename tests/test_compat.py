@@ -54,3 +54,85 @@ def test_compute_median_alias():
     from stein_tpu.utilities import compute_median
     x = jnp.asarray([3.0, 1.0, 2.0, 10.0])
     assert float(compute_median(x)) == 2.5
+
+
+def test_save_restore_without_npz_suffix(tmp_path):
+    import jax, numpy as np
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(20, 2)); y = X @ rng.normal(size=(2, 1))
+    model = LinearRegressionModel(2)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    s = SVGDSampler(8, model.log_p, model.template(jnp.float64),
+                    Adam(learning_rate=1e-1), key=jax.random.PRNGKey(0),
+                    dtype=jnp.float64)
+    s.train_on_batch(batch)
+    path = str(tmp_path / "ckpt")       # no extension
+    s.save(path)
+    import os
+    assert os.path.exists(path)
+    s.restore(path)
+    assert int(s.state.step) == 1
+
+
+def test_donate_false_keeps_state_references():
+    import jax, numpy as np
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(20, 2)); y = X @ rng.normal(size=(2, 1))
+    model = LinearRegressionModel(2)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    s = SVGDSampler(8, model.log_p, model.template(jnp.float64),
+                    Adam(learning_rate=1e-1), key=jax.random.PRNGKey(0),
+                    dtype=jnp.float64, donate=False)
+    p0 = s.state.particles
+    s.run(batch, 3)
+    s.train_on_batches({"X": jnp.asarray(X)[None], "y": jnp.asarray(y)[None]})
+    np.asarray(p0)  # must still be alive — donation was opted out
+
+
+def test_option_guards():
+    import pytest, jax
+    from stein_tpu import SVGDSampler, Adam, InverseMultiquadricKernel
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.parallel import particle_mesh
+    model = LinearRegressionModel(2)
+    common = dict(n_particles=8, log_p=model.log_p,
+                  param_template=model.template(jnp.float64),
+                  gd=Adam(), dtype=jnp.float64)
+    # pallas + exact median would materialise the n^2 matrix: refuse.
+    with pytest.raises(ValueError):
+        SVGDSampler(kernel_impl="pallas", median="exact", **common)
+    mesh = particle_mesh(jax.devices()[:1])
+    # mesh cannot honour a custom kernel or pallas: refuse, never silently
+    # substitute RBF.
+    with pytest.raises(NotImplementedError):
+        SVGDSampler(mesh=mesh, kernel=InverseMultiquadricKernel(), **common)
+    with pytest.raises(ValueError):
+        SVGDSampler(mesh=mesh, kernel_impl="pallas", **common)
+
+
+def test_mesh_remat_matches_plain():
+    import jax, numpy as np
+    if jax.device_count() < 8:
+        return
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.parallel import particle_mesh
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(20, 2)); y = X @ rng.normal(size=(2, 1))
+    model = LinearRegressionModel(2)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    mesh = particle_mesh(jax.devices()[:8])
+    theta0 = jnp.asarray(rng.normal(size=(16, 2)) * 0.01)
+    def make(remat):
+        return SVGDSampler(16, model.log_p, model.template(jnp.float64),
+                           Adam(learning_rate=1e-1), theta=theta0,
+                           dtype=jnp.float64, mesh=mesh, remat=remat)
+    a, b = make(False), make(True)
+    for _ in range(3):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_array_equal(a.samples, b.samples)
