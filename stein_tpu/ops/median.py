@@ -240,6 +240,66 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
     return 0.5 * ((lo_a + hi_a) * 0.5 + (lo_b + hi_b) * 0.5)
 
 
+def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
+                          passes=30):
+    """Distributed sort-free median for the all-gather sharded step: each
+    shard counts over a strided subsample of its LOCAL rows against the
+    gathered global columns; counts psum over the particle axis, so every
+    shard bisects the same global interval and agrees on the result.
+
+    ~max_rows rows are used globally (split evenly across shards)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    n_loc = theta_loc.shape[0]
+    n = theta_all.shape[0]
+    m = max(min(max_rows // n_dev, n_loc), 1)
+    stride = max(n_loc // m, 1)
+    idx = jnp.arange(m) * stride
+    rows = theta_loc[idx]
+    rsq_rows = jnp.sum(rows * rows, axis=1)
+    rsq_all = jnp.sum(theta_all * theta_all, axis=1)
+    D = _row_block_sq_dists(rows, theta_all, rsq_rows, rsq_all)
+
+    total = m * n_dev * n
+    k_lo = (total + 1) // 2
+    k_hi = total // 2 + 1
+    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
+    k_lo_c = jnp.asarray(k_lo, cdt)
+    k_hi_c = jnp.asarray(k_hi, cdt)
+    lo0 = jax.lax.pmin(jnp.minimum(jnp.min(D), 0.0), axis_name)
+    hi0 = jax.lax.pmax(jnp.max(D), axis_name)
+
+    if total > 1_000_000:
+        # Single rank: the two middle order statistics are statistically
+        # indistinguishable at this count (see bisect_median).
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            cnt = jax.lax.psum(jnp.sum(D <= mid, dtype=cdt), axis_name)
+            go_lo = cnt >= k_lo_c
+            return jnp.where(go_lo, lo, mid), jnp.where(go_lo, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
+        return 0.5 * (lo + hi)
+
+    def body(_, carry):
+        lo_a, hi_a, lo_b, hi_b = carry
+        mid_a = 0.5 * (lo_a + hi_a)
+        mid_b = 0.5 * (lo_b + hi_b)
+        cnt_a = jax.lax.psum(jnp.sum(D <= mid_a, dtype=cdt), axis_name)
+        cnt_b = jax.lax.psum(jnp.sum(D <= mid_b, dtype=cdt), axis_name)
+        go_a = cnt_a >= k_lo_c
+        go_b = cnt_b >= k_hi_c
+        return (
+            jnp.where(go_a, lo_a, mid_a), jnp.where(go_a, mid_a, hi_a),
+            jnp.where(go_b, lo_b, mid_b), jnp.where(go_b, mid_b, hi_b),
+        )
+
+    lo_a, hi_a, lo_b, hi_b = jax.lax.fori_loop(
+        0, passes, body, (lo0, hi0, lo0, hi0)
+    )
+    return 0.5 * (0.5 * (lo_a + hi_a) + 0.5 * (lo_b + hi_b))
+
+
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
     """Distributed histogram-refinement median where the particle blocks
     circulate around the ring (ppermute) instead of being all-gathered —

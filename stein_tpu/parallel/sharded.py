@@ -150,6 +150,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             if median == "exact":
                 D_full = jax.lax.all_gather(D_rows, axis, tiled=True)
                 med = jnp.median(D_full)
+            elif median == "bisect":
+                from ..ops.median import sharded_bisect_median
+                med = sharded_bisect_median(theta_loc, theta_all, axis)
             elif median == "binned":
                 med = binned_median(
                     theta_loc, n_bins=binned_bins,
@@ -159,7 +162,7 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             else:
                 raise ValueError(
                     f"unknown sharded median mode: {median!r} "
-                    "(use 'exact' or 'binned')"
+                    "(use 'exact', 'bisect', or 'binned')"
                 )
             h2 = bandwidth_sq_from_median(
                 med.astype(theta_loc.dtype), n_particles

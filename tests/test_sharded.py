@@ -167,3 +167,22 @@ def test_ring_with_exact_median_raises():
             gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
             mesh=mesh, median="exact", comm="ring",
         )
+
+
+@requires_8_devices
+def test_sharded_bisect_median_matches_exact():
+    """Distributed bisect median (psum'd counts): with the subsample
+    covering all rows it equals the exact median to fp resolution."""
+    theta0, model, batch = _linreg(n_particles=64)
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect",
+    )
+    # single-device bisect also covers all rows at n=64 -> exact.
+    for _ in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-6, atol=1e-10
+    )
