@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from stein_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 N_PARTICLES = 1000
 N_PARAMS = 128
@@ -71,26 +75,30 @@ def bench_jax(X, y, theta0):
                            # slow TPU primitive; see ops/median.py)
     )
     # One dispatch per K steps (lax.scan) — the TPU-native loop shape.
-    # Timing uses the two-length slope method: on a tunneled device,
+    # Timing uses a two-count slope: on a tunneled device,
     # block_until_ready is unreliable and a host fetch has a large fixed
-    # RTT, so we time run(k)+fetch for two K values and take the slope —
-    # the fixed dispatch/fetch costs cancel exactly.
-    K_SMALL, K_BIG = 50, 550
+    # RTT, so we time (1 dispatch + fetch) vs (R dispatches + fetch) of
+    # the SAME compiled scan and take the slope — the fixed fetch cost
+    # cancels, per-dispatch overhead is part of honest throughput, and
+    # only one scan length compiles (remote compiles cost minutes here).
+    K, R = 200, 4
 
-    def timed(k, reps=3):
-        sampler.run(batch, k)              # compile
-        np.asarray(sampler.state.particles)
+    sampler.run(batch, K)                       # compile once
+    np.asarray(sampler.state.particles)
+
+    def timed(n_dispatches, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            sampler.run(batch, k)
-            np.asarray(sampler.state.particles)   # forces completion
+            for _ in range(n_dispatches):
+                sampler.run(batch, K)
+            np.asarray(sampler.state.particles)  # forces completion
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = timed(K_SMALL)
-    t_big = timed(K_BIG)
-    return max(t_big - t_small, 1e-9) / (K_BIG - K_SMALL)
+    t1 = timed(1)
+    tR = timed(R)
+    return max(tR - t1, 1e-9) / ((R - 1) * K)
 
 
 def main():

@@ -24,6 +24,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from stein_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from stein_tpu import SVGDSampler, Adam
 from stein_tpu.models import LogisticRegressionModel
 

@@ -6,6 +6,7 @@ from .ravel import (
 )
 from .checkpoint import save_checkpoint, restore_checkpoint
 from .metrics import MetricsLogger
+from .cache import enable_compilation_cache
 
 __all__ = [
     "template_unraveler",
@@ -15,4 +16,5 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "MetricsLogger",
+    "enable_compilation_cache",
 ]
