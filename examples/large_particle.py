@@ -69,10 +69,11 @@ def main():
 
     t0 = time.time()
     done = args.chunk
-    while done < args.n_iters:
-        k = min(args.chunk, args.n_iters - done)
-        aux = sampler.run(batch, k)
-        done += k
+    while done + args.chunk <= args.n_iters:
+        # Full chunks only: a shorter tail chunk would be a new static
+        # scan length and recompile inside the timed loop.
+        aux = sampler.run(batch, args.chunk)
+        done += args.chunk
     np.asarray(sampler.state.particles)
     dt = time.time() - t0
     steps = done - args.chunk

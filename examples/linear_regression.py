@@ -108,6 +108,9 @@ def main():
 
     # Posterior-lines visualisation, as the reference example draws
     # (linear_regression/main.py:57-68) — saved, not shown.
+    if args.plot and n_feats != 1:
+        print(f"--plot ignored: the posterior-lines figure needs 1 "
+              f"feature, data has {n_feats}")
     if args.plot and n_feats == 1:
         import matplotlib
         matplotlib.use("Agg")

@@ -307,6 +307,7 @@ class SVGDSampler:
                         max_phi_norm=max_phi_norm, donate=donate, comm=comm,
                         binned_bins=binned_bins,
                         binned_block_rows=binned_block_rows, remat=remat,
+                        median_max_rows=median_max_rows,
                     )
 
         self._posterior_cache = {}

@@ -18,20 +18,21 @@ MXU contractions.
 import jax.numpy as jnp
 
 from . import rbf
-from .median import exact_median
+from .median import bisect_median
 
 
 def ksd_rbf(theta, grads, h2=None, u_statistic=False):
     """KSD^2 of the particle set w.r.t. the target whose scores are
     ``grads`` ([n, p] = grad log p per particle), under the RBF kernel
-    with bandwidth^2 ``h2`` (median heuristic if None).
+    with bandwidth^2 ``h2`` (sort-free bisect median heuristic if None —
+    the exact median's n^2 sort would cost more than an SVGD step).
 
     Returns a scalar; >= 0 up to fp error for the V-statistic.
     """
     n, p = theta.shape
     D = rbf.pairwise_sq_dists(theta)
     if h2 is None:
-        h2 = rbf.bandwidth_sq_from_median(exact_median(D), n)
+        h2 = rbf.bandwidth_sq_from_median(bisect_median(theta), n)
     K = jnp.exp(-D / h2 / 2.0)
 
     SS = grads @ grads.T                       # s_i . s_j

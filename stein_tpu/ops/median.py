@@ -87,28 +87,37 @@ def bisect_median(theta, max_rows=512, passes=30):
         idx = jnp.arange(max_rows) * stride
         D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
 
-    total = D.size
-    k_lo = (total + 1) // 2
-    k_hi = total // 2 + 1
-    # Count in f32 when int32 would overflow (subsample > 2^31 entries).
-    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
-    k_lo_c = jnp.asarray(k_lo, cdt)
-    k_hi_c = jnp.asarray(k_hi, cdt)
     lo0 = jnp.minimum(jnp.min(D), 0.0)
     hi0 = jnp.max(D)
 
-    # For large subsamples the two middle order statistics are separated
-    # by ~1/total of the distribution — far below the bandwidth
-    # heuristic's sensitivity — so a single rank search suffices and
-    # halves the streaming traffic. Small totals keep both ranks so the
-    # even-count median matches np.median exactly.
-    single_rank = total > 1_000_000
+    def count_le(mid, cdt):
+        return jnp.sum(D <= mid, dtype=cdt)
 
-    if single_rank:
+    return _bisect_search(count_le, D.size, lo0, hi0, passes)
+
+
+def _bisect_search(count_le, total, lo0, hi0, passes):
+    """Shared bisection core: find the median's order statistic(s) of a
+    distribution queryable only through ``count_le(mid, count_dtype) ->
+    |{x <= mid}|`` (a streaming count, possibly psum'd across shards).
+
+    For large totals the two middle order statistics are separated by
+    ~1/total of the distribution — far below the bandwidth heuristic's
+    sensitivity — so a single rank search suffices and halves the
+    streaming traffic. Small totals keep both ranks so the even-count
+    median matches np.median exactly."""
+    k_lo = (total + 1) // 2
+    k_hi = total // 2 + 1
+    # Count in f32 when int32 would overflow (> 2^31 entries).
+    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
+    k_lo_c = jnp.asarray(k_lo, cdt)
+    k_hi_c = jnp.asarray(k_hi, cdt)
+
+    if total > 1_000_000:
         def body(_, carry):
             lo_a, hi_a = carry
             mid_a = 0.5 * (lo_a + hi_a)
-            go_lo = jnp.sum(D <= mid_a, dtype=cdt) >= k_lo_c
+            go_lo = count_le(mid_a, cdt) >= k_lo_c
             return (
                 jnp.where(go_lo, lo_a, mid_a),
                 jnp.where(go_lo, mid_a, hi_a),
@@ -121,8 +130,8 @@ def bisect_median(theta, max_rows=512, passes=30):
         lo_a, hi_a, lo_b, hi_b = carry
         mid_a = 0.5 * (lo_a + hi_a)
         mid_b = 0.5 * (lo_b + hi_b)
-        cnt_a = jnp.sum(D <= mid_a, dtype=cdt)
-        cnt_b = jnp.sum(D <= mid_b, dtype=cdt)
+        cnt_a = count_le(mid_a, cdt)
+        cnt_b = count_le(mid_b, cdt)
         go_lo_a = cnt_a >= k_lo_c   # k_lo-th smallest is <= mid_a
         go_lo_b = cnt_b >= k_hi_c
         return (
@@ -153,13 +162,17 @@ def _block_histogram(theta, rowsq, theta_cols, colsq, lo, hi, n_bins,
     n_blocks = n // block_rows
     width = (hi - lo) / n_bins
 
-    # Counts accumulate in float32: totals reach n^2, which overflows int32
-    # beyond n=46341; f32's ~1e-7 relative rank error is far below a
-    # histogram bin's resolution.
+    # Per-block scatter counts in int32 (exact; a block holds at most
+    # block_rows * n_cols < 2^31 entries), accumulated across blocks in
+    # float32 (totals reach n^2, which overflows int32 beyond n=46341;
+    # the f32 vector-add rounding is ~ulp(total) ranks — far below a bin's
+    # resolution). Scattering 1.0 directly into an f32 accumulator would
+    # instead SATURATE once a bin crosses 2^24 (adding 1 becomes a no-op).
     def block_counts(rows, rsq):
         D = _row_block_sq_dists(rows, theta_cols, rsq, colsq)
         b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
-        return jnp.zeros((n_bins,), jnp.float32).at[b.ravel()].add(1.0)
+        ints = jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
+        return ints.astype(jnp.float32)
 
     def body(carry, i):
         start = i * block_rows
@@ -260,44 +273,13 @@ def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
     D = _row_block_sq_dists(rows, theta_all, rsq_rows, rsq_all)
 
     total = m * n_dev * n
-    k_lo = (total + 1) // 2
-    k_hi = total // 2 + 1
-    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
-    k_lo_c = jnp.asarray(k_lo, cdt)
-    k_hi_c = jnp.asarray(k_hi, cdt)
     lo0 = jax.lax.pmin(jnp.minimum(jnp.min(D), 0.0), axis_name)
     hi0 = jax.lax.pmax(jnp.max(D), axis_name)
 
-    if total > 1_000_000:
-        # Single rank: the two middle order statistics are statistically
-        # indistinguishable at this count (see bisect_median).
-        def body(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            cnt = jax.lax.psum(jnp.sum(D <= mid, dtype=cdt), axis_name)
-            go_lo = cnt >= k_lo_c
-            return jnp.where(go_lo, lo, mid), jnp.where(go_lo, mid, hi)
+    def count_le(mid, cdt):
+        return jax.lax.psum(jnp.sum(D <= mid, dtype=cdt), axis_name)
 
-        lo, hi = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
-        return 0.5 * (lo + hi)
-
-    def body(_, carry):
-        lo_a, hi_a, lo_b, hi_b = carry
-        mid_a = 0.5 * (lo_a + hi_a)
-        mid_b = 0.5 * (lo_b + hi_b)
-        cnt_a = jax.lax.psum(jnp.sum(D <= mid_a, dtype=cdt), axis_name)
-        cnt_b = jax.lax.psum(jnp.sum(D <= mid_b, dtype=cdt), axis_name)
-        go_a = cnt_a >= k_lo_c
-        go_b = cnt_b >= k_hi_c
-        return (
-            jnp.where(go_a, lo_a, mid_a), jnp.where(go_a, mid_a, hi_a),
-            jnp.where(go_b, lo_b, mid_b), jnp.where(go_b, mid_b, hi_b),
-        )
-
-    lo_a, hi_a, lo_b, hi_b = jax.lax.fori_loop(
-        0, passes, body, (lo0, hi0, lo0, hi0)
-    )
-    return 0.5 * (0.5 * (lo_a + hi_a) + 0.5 * (lo_b + hi_b))
+    return _bisect_search(count_le, total, lo0, hi0, passes)
 
 
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
@@ -327,9 +309,11 @@ def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
             counts, blk_theta, blk_rsq = carry
             D = _row_block_sq_dists(theta_loc, blk_theta, rsq_loc, blk_rsq)
             b = jnp.clip(((D - lo) / width).astype(jnp.int32), 0, n_bins - 1)
-            # float32 counts: see _block_histogram (int32 overflows at
-            # n > 46341).
-            counts = counts.at[b.ravel()].add(1.0)
+            # Per-iteration int32 scatter then f32 accumulate: see
+            # _block_histogram (direct f32 scatter saturates at 2^24 per
+            # bin; int32 overflows across the full n^2 total).
+            ints = jnp.zeros((n_bins,), jnp.int32).at[b.ravel()].add(1)
+            counts = counts + ints.astype(jnp.float32)
             blk_theta = jax.lax.ppermute(blk_theta, axis_name, perm)
             blk_rsq = jax.lax.ppermute(blk_rsq, axis_name, perm)
             return counts, blk_theta, blk_rsq

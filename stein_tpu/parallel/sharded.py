@@ -83,7 +83,7 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       particle_axis="particles", median="exact",
                       max_phi_norm=10.0, donate=True,
                       binned_bins=4096, binned_block_rows=256,
-                      comm="all_gather", remat=False):
+                      comm="all_gather", remat=False, median_max_rows=512):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
@@ -107,10 +107,12 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     if comm not in ("all_gather", "ring"):
         raise ValueError(f"unknown comm mode: {comm!r}")
-    if comm == "ring" and median == "exact":
+    if comm == "ring" and median != "binned":
         raise ValueError(
-            "comm='ring' requires median='binned' (the exact median would "
-            "need the full distance matrix the ring exists to avoid)"
+            f"comm='ring' supports only median='binned' (got {median!r}); "
+            "the ring never assembles the global column block the other "
+            "median modes need — the ring histogram median is psum'd "
+            "per-rotation instead"
         )
 
     def spmd_step(state, batch):
@@ -152,7 +154,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 med = jnp.median(D_full)
             elif median == "bisect":
                 from ..ops.median import sharded_bisect_median
-                med = sharded_bisect_median(theta_loc, theta_all, axis)
+                med = sharded_bisect_median(
+                    theta_loc, theta_all, axis, max_rows=median_max_rows
+                )
             elif median == "binned":
                 med = binned_median(
                     theta_loc, n_bins=binned_bins,

@@ -13,14 +13,18 @@ import jax
 
 def save_checkpoint(path, state):
     """Serialise a state pytree to ``path`` (npz format; the file lands at
-    exactly ``path`` — np.savez's implicit '.npz' suffix is undone so
-    save/restore round-trip for any path)."""
+    exactly ``path`` regardless of extension).
+
+    Writes through a side-named temp file so np.savez's implicit '.npz'
+    suffix can never clobber an unrelated ``path + '.npz'`` file, and the
+    final rename is atomic."""
     import os
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(path, **arrays)
-    if not str(path).endswith(".npz") and os.path.exists(str(path) + ".npz"):
-        os.replace(str(path) + ".npz", path)
+    tmp = str(path) + f".saving{os.getpid()}"
+    np.savez(tmp, **arrays)             # np.savez writes tmp + '.npz'
+    written = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(written, path)
 
 
 def restore_checkpoint(path, like_state):

@@ -114,10 +114,13 @@ def test_option_guards():
         SVGDSampler(mesh=mesh, kernel_impl="pallas", **common)
 
 
+import jax as _jax
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(_jax.device_count() < 8, reason="needs 8 fake devices")
 def test_mesh_remat_matches_plain():
     import jax, numpy as np
-    if jax.device_count() < 8:
-        return
     from stein_tpu import SVGDSampler, Adam
     from stein_tpu.models import LinearRegressionModel
     from stein_tpu.parallel import particle_mesh

@@ -136,3 +136,19 @@ def test_sampler_bisect_median_mode():
         a.train_on_batch(batch)
         b.train_on_batch(batch)
     np.testing.assert_allclose(b.samples, a.samples, rtol=1e-6, atol=1e-9)
+
+
+def test_binned_median_no_f32_saturation_at_large_n():
+    """Regression: boundary bins collect >2^24 entries during level-2
+    refinement at n>5793; the per-block int32 scatter must not saturate
+    (a direct f32 scatter-add of 1.0 would)."""
+    rng = np.random.default_rng(15)
+    n = 6000   # n^2 = 36M; level-2 boundary bins hold ~18M > 2^24
+    theta = rng.normal(size=(n, 3)).astype(np.float32)
+    D = numpy_svgd.pairwise_sq_dists(theta.astype(np.float64))
+    exact = np.median(D.ravel())
+    med = float(
+        binned_median(jnp.asarray(theta), n_bins=1024, n_levels=2,
+                      block_rows=512)
+    )
+    assert abs(med - exact) / exact < 1e-4
