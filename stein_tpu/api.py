@@ -360,8 +360,14 @@ class SVGDSampler:
     @property
     def samples(self):
         """[n_particles, n_params] particle matrix (reference:
-        stein_sampler.py:73-78)."""
-        return np.asarray(self.state.particles)
+        stein_sampler.py:73-78). On a multi-controller mesh the full
+        matrix is assembled with a cross-process allgather."""
+        parts = self.state.particles
+        if (hasattr(parts, "is_fully_addressable")
+                and not parts.is_fully_addressable):
+            from jax.experimental import multihost_utils
+            parts = multihost_utils.process_allgather(parts, tiled=True)
+        return np.asarray(parts)
 
     @property
     def theta(self):

@@ -26,9 +26,38 @@ from ..ops.median import binned_median, _row_block_sq_dists
 from ..ops.rbf import bandwidth_sq_from_median
 
 
+def _place_global(leaf, sharding):
+    """Place a host-replicated array onto a (possibly multi-process) mesh.
+
+    Single-controller: plain device_put. Multi-controller (a mesh spanning
+    processes after jax.distributed.initialize): device_put cannot address
+    remote shards, so build the global array from the local value —
+    every process holds the full leaf (deterministic init / restored
+    checkpoint) and materialises only its addressable shards."""
+    import numpy as np
+    if all(d.process_index == jax.process_index()
+           for d in sharding.mesh.devices.flat):
+        return jax.device_put(leaf, sharding)
+    leaf_np = np.asarray(leaf)
+    return jax.make_array_from_callback(
+        leaf_np.shape, sharding, lambda idx: leaf_np[idx]
+    )
+
+
+def replicate_batch(batch, mesh):
+    """Replicate a host batch pytree onto every device of ``mesh`` —
+    required for multi-controller meshes (each process passes the same
+    host values), harmless single-controller."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda leaf: _place_global(leaf, sharding), batch
+    )
+
+
 def shard_state(state, mesh, axis_name):
     """Place an SVGDState on the mesh: particle-dim arrays sharded along
-    ``axis_name``, scalars replicated."""
+    ``axis_name``, scalars replicated. Multi-controller-safe (see
+    _place_global)."""
     n = state.particles.shape[0]
 
     def spec_for(leaf):
@@ -39,7 +68,7 @@ def shard_state(state, mesh, axis_name):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, spec_for(leaf)), state
+        lambda leaf: _place_global(leaf, spec_for(leaf)), state
     )
 
 

@@ -20,7 +20,16 @@ def save_checkpoint(path, state):
     final rename is atomic."""
     import os
     leaves, _ = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+
+    def to_host(leaf):
+        if (hasattr(leaf, "is_fully_addressable")
+                and not leaf.is_fully_addressable):
+            # Multi-controller mesh: assemble the global value.
+            from jax.experimental import multihost_utils
+            leaf = multihost_utils.process_allgather(leaf, tiled=True)
+        return np.asarray(leaf)
+
+    arrays = {f"leaf_{i}": to_host(leaf) for i, leaf in enumerate(leaves)}
     tmp = str(path) + f".saving{os.getpid()}"
     np.savez(tmp, **arrays)             # np.savez writes tmp + '.npz'
     written = tmp if os.path.exists(tmp) else tmp + ".npz"

@@ -1,0 +1,82 @@
+"""Worker script for the 2-process multi-controller integration test
+(launched by tests/test_multihost.py, one subprocess per simulated host).
+
+Each process owns 4 fake CPU devices; jax.distributed.initialize joins
+them into one 8-device global mesh over localhost gRPC — the same
+code path a real multi-host TPU slice uses (SURVEY.md §5 distributed
+backend; BASELINE.json config #5)."""
+
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stein_tpu import SVGDSampler, Adam
+from stein_tpu.models import LinearRegressionModel
+from stein_tpu.parallel import particle_mesh, replicate_batch
+
+assert jax.process_count() == nproc
+assert jax.device_count() == 4 * nproc
+assert jax.local_device_count() == 4
+
+rng = np.random.default_rng(0)
+X = rng.normal(size=(30, 3))
+y = X @ rng.normal(size=(3, 1)) + rng.normal(size=(30, 1)) * 0.3
+theta0 = rng.normal(size=(16, 3)) * 0.01
+model = LinearRegressionModel(3)
+
+mesh = particle_mesh()   # global: spans both processes
+sampler = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+    dtype=jnp.float64, mesh=mesh,
+)
+batch = replicate_batch(
+    {"X": jnp.asarray(X), "y": jnp.asarray(y)}, mesh
+)
+for _ in range(5):
+    sampler.train_on_batch(batch)
+samples = sampler.samples            # cross-process allgather
+
+# Single-device reference trajectory, computed locally in this process.
+ref = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+    dtype=jnp.float64,
+)
+ref_batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+for _ in range(5):
+    ref.train_on_batch(ref_batch)
+
+np.testing.assert_allclose(samples, ref.samples, rtol=1e-9, atol=1e-12)
+
+# Checkpoint round-trip across the multi-controller mesh.
+ckpt = sys.argv[4] if len(sys.argv) > 4 else None
+if ckpt:
+    sampler.save(ckpt + f".p{pid}")
+
+print(f"MULTIHOST-OK-{pid}", flush=True)
