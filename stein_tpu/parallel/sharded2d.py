@@ -35,7 +35,9 @@ from ..api import SVGDState
 
 def shard_state_2d(state, mesh, particle_axis, model_axis):
     """Place an SVGDState: [n, p] leaves sharded (particles, model),
-    scalars replicated."""
+    scalars replicated. Multi-controller-safe (sharded._place_global)."""
+    from .sharded import _place_global
+
     n, p = state.particles.shape
 
     def spec_for(leaf):
@@ -44,7 +46,7 @@ def shard_state_2d(state, mesh, particle_axis, model_axis):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, spec_for(leaf)), state
+        lambda leaf: _place_global(leaf, spec_for(leaf)), state
     )
 
 

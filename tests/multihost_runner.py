@@ -79,4 +79,60 @@ ckpt = sys.argv[4] if len(sys.argv) > 4 else None
 if ckpt:
     sampler.save(ckpt + f".p{pid}")
 
+# Ring layout across processes: ppermute hops cross the process boundary
+# (the DCN path on a real multi-host slice).
+ring = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+    dtype=jnp.float64, mesh=mesh, comm="ring", median="binned",
+)
+for _ in range(3):
+    ring.train_on_batch(batch)
+ring_ref = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+    dtype=jnp.float64, median="binned",
+)
+for _ in range(3):
+    ring_ref.train_on_batch(ref_batch)
+np.testing.assert_allclose(
+    ring.samples, ring_ref.samples, rtol=1e-6, atol=1e-9
+)
+
+# 2-D particles x model mesh spanning both processes: the Gram psum over
+# the model axis crosses the process boundary.
+from jax.sharding import Mesh
+
+X8 = rng.normal(size=(30, 8))
+y8 = X8 @ rng.normal(size=(8, 1))
+model8 = LinearRegressionModel(8)
+theta8 = rng.normal(size=(16, 8)) * 0.01
+mesh2d = Mesh(np.asarray(jax.devices()).reshape(4, 2),
+              ("particles", "model"))
+s2d = SVGDSampler(
+    n_particles=16, log_p=model8.log_p,
+    param_template=model8.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta8),
+    dtype=jnp.float64, mesh=mesh2d, model_axis="model",
+)
+batch8 = replicate_batch(
+    {"X": jnp.asarray(X8), "y": jnp.asarray(y8)}, mesh2d
+)
+for _ in range(3):
+    s2d.train_on_batch(batch8)
+ref2d = SVGDSampler(
+    n_particles=16, log_p=model8.log_p,
+    param_template=model8.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta8),
+    dtype=jnp.float64,
+)
+ref_batch8 = {"X": jnp.asarray(X8), "y": jnp.asarray(y8)}
+for _ in range(3):
+    ref2d.train_on_batch(ref_batch8)
+np.testing.assert_allclose(
+    s2d.samples, ref2d.samples, rtol=1e-9, atol=1e-12
+)
+
 print(f"MULTIHOST-OK-{pid}", flush=True)
