@@ -73,6 +73,8 @@ def bench_jax(X, y, theta0):
         theta=jnp.asarray(theta0, jnp.float32),
         median="bisect",   # sort-free on-device median (sorts are the one
                            # slow TPU primitive; see ops/median.py)
+        median_passes=16,  # bandwidth to ~1e-4 relative: ample for the
+                           # heuristic, halves the dominant sequential cost
     )
     # One dispatch per K steps (lax.scan) — the TPU-native loop shape.
     # Timing uses a two-count slope: on a tunneled device,

@@ -45,7 +45,8 @@ class SVGDState(NamedTuple):
 
 def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
                 median_max_rows=512, binned_bins=4096, binned_block_rows=256,
-                pallas_block=512, pallas_interpret=False, kernel=None):
+                pallas_block=512, pallas_interpret=False, kernel=None,
+                median_passes=30):
     """Build phi_fn(theta, grads) -> (phi, aux) for the requested backend.
 
     kernel_impl="xla": materialise the [n, n] kernel once; XLA fuses the
@@ -62,7 +63,7 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
         )
     elif median == "bisect":
         median_fn = lambda theta: bisect_median(
-            theta, max_rows=median_max_rows
+            theta, max_rows=median_max_rows, passes=median_passes
         )
     elif median == "binned":
         median_fn = lambda theta: binned_median(
@@ -208,7 +209,8 @@ class SVGDSampler:
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
                  donate=True, pallas_block=512, pallas_interpret=False,
                  model_axis=None, comm="all_gather", remat=False,
-                 kernel=None, binned_bins=4096, binned_block_rows=256):
+                 kernel=None, binned_bins=4096, binned_block_rows=256,
+                 median_passes=30):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -259,6 +261,7 @@ class SVGDSampler:
                 median_max_rows=median_max_rows, pallas_block=pallas_block,
                 pallas_interpret=pallas_interpret, kernel=kernel,
                 binned_bins=binned_bins, binned_block_rows=binned_block_rows,
+                median_passes=median_passes,
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,
