@@ -40,6 +40,7 @@ def main():
                     choices=["pallas", "xla"])
     ap.add_argument("--median", type=str, default="bisect",
                     choices=["bisect", "subsample", "binned", "exact"])
+    ap.add_argument("--median-passes", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -58,6 +59,7 @@ def main():
         key=jax.random.PRNGKey(args.seed),
         kernel_impl=args.kernel_impl,
         median=args.median,
+        median_passes=args.median_passes,
     )
 
     # Warmup compiles the scan at the exact chunk length used below (a

@@ -35,6 +35,15 @@ from .utils.ravel import (
 )
 
 
+def host_scalar(x):
+    """Read a device scalar to a Python float, including replicated
+    outputs of a multi-controller jit (not fully addressable; every
+    process holds the same value in its local shard)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return float(np.asarray(x.addressable_shards[0].data))
+    return float(x)
+
+
 class SVGDState(NamedTuple):
     """Complete mutable state of the sampler — a checkpointable pytree."""
 
@@ -394,7 +403,9 @@ class SVGDSampler:
                 )(theta, b)
                 return ksd_rbf(theta, grads, u_statistic=u)
             self._jit_ksd = jax.jit(compute, static_argnums=(2,))
-        return float(self._jit_ksd(self.state.particles, batch, u_statistic))
+        return host_scalar(
+            self._jit_ksd(self.state.particles, batch, u_statistic)
+        )
 
     def save(self, path):
         """Checkpoint the full sampler state (particles, optimizer moments,

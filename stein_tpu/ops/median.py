@@ -104,8 +104,9 @@ def _bisect_search(count_le, total, lo0, hi0, passes):
     For large totals the two middle order statistics are separated by
     ~1/total of the distribution — far below the bandwidth heuristic's
     sensitivity — so a single rank search suffices and halves the
-    streaming traffic. Small totals keep both ranks so the even-count
-    median matches np.median exactly."""
+    sequential count kernels (which dominate small-n step time). Small
+    totals keep both ranks so the even-count median matches np.median
+    exactly."""
     k_lo = (total + 1) // 2
     k_hi = total // 2 + 1
     # Count in f32 when int32 would overflow (> 2^31 entries).
@@ -113,7 +114,7 @@ def _bisect_search(count_le, total, lo0, hi0, passes):
     k_lo_c = jnp.asarray(k_lo, cdt)
     k_hi_c = jnp.asarray(k_hi, cdt)
 
-    if total > 1_000_000:
+    if total > 100_000:
         def body(_, carry):
             lo_a, hi_a = carry
             mid_a = 0.5 * (lo_a + hi_a)

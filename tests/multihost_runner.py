@@ -135,4 +135,16 @@ np.testing.assert_allclose(
     s2d.samples, ref2d.samples, rtol=1e-9, atol=1e-12
 )
 
+# Diagnostics across the multi-controller mesh: aux scalars (replicated,
+# not fully addressable) must read back; KSD runs over the global
+# particles.
+from stein_tpu.utils.metrics import MetricsLogger
+
+aux = sampler.train_on_batch(batch)
+m = MetricsLogger(log_every=0)
+m.record(int(6), aux)
+assert np.isfinite(m.history[-1]["phi_norm"])
+ksd_val = sampler.ksd(batch)
+assert np.isfinite(ksd_val)
+
 print(f"MULTIHOST-OK-{pid}", flush=True)
