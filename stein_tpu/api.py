@@ -35,13 +35,7 @@ from .utils.ravel import (
 )
 
 
-def host_scalar(x):
-    """Read a device scalar to a Python float, including replicated
-    outputs of a multi-controller jit (not fully addressable; every
-    process holds the same value in its local shard)."""
-    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
-        return float(np.asarray(x.addressable_shards[0].data))
-    return float(x)
+from .utils.hostio import host_array, host_scalar  # noqa: E402  (re-export)
 
 
 class SVGDState(NamedTuple):
@@ -320,6 +314,7 @@ class SVGDSampler:
                         binned_bins=binned_bins,
                         binned_block_rows=binned_block_rows, remat=remat,
                         median_max_rows=median_max_rows,
+                        median_passes=median_passes,
                     )
 
         self._posterior_cache = {}
@@ -374,12 +369,7 @@ class SVGDSampler:
         """[n_particles, n_params] particle matrix (reference:
         stein_sampler.py:73-78). On a multi-controller mesh the full
         matrix is assembled with a cross-process allgather."""
-        parts = self.state.particles
-        if (hasattr(parts, "is_fully_addressable")
-                and not parts.is_fully_addressable):
-            from jax.experimental import multihost_utils
-            parts = multihost_utils.process_allgather(parts, tiled=True)
-        return np.asarray(parts)
+        return host_array(self.state.particles)
 
     @property
     def theta(self):
@@ -432,8 +422,8 @@ class SVGDSampler:
             self._posterior_cache[func] = fn
         dist = fn(self.state.particles, batch)
         if axis is not None:
-            return np.asarray(dist.mean(axis=axis))
-        return np.asarray(dist)
+            return host_array(dist.mean(axis=axis))
+        return host_array(dist)
 
 
 # Reference-compatible alias (stein/samplers/__init__.py:1).

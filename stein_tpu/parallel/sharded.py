@@ -35,8 +35,9 @@ def _place_global(leaf, sharding):
     every process holds the full leaf (deterministic init / restored
     checkpoint) and materialises only its addressable shards."""
     import numpy as np
-    if all(d.process_index == jax.process_index()
-           for d in sharding.mesh.devices.flat):
+    mesh = getattr(sharding, "mesh", None)
+    if mesh is None or all(d.process_index == jax.process_index()
+                           for d in np.asarray(mesh.devices).flat):
         return jax.device_put(leaf, sharding)
     leaf_np = np.asarray(leaf)
     return jax.make_array_from_callback(
@@ -112,7 +113,8 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       particle_axis="particles", median="exact",
                       max_phi_norm=10.0, donate=True,
                       binned_bins=4096, binned_block_rows=256,
-                      comm="all_gather", remat=False, median_max_rows=512):
+                      comm="all_gather", remat=False, median_max_rows=512,
+                      median_passes=30):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
@@ -184,7 +186,8 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             elif median == "bisect":
                 from ..ops.median import sharded_bisect_median
                 med = sharded_bisect_median(
-                    theta_loc, theta_all, axis, max_rows=median_max_rows
+                    theta_loc, theta_all, axis, max_rows=median_max_rows,
+                    passes=median_passes,
                 )
             elif median == "binned":
                 med = binned_median(

@@ -19,17 +19,15 @@ def save_checkpoint(path, state):
     suffix can never clobber an unrelated ``path + '.npz'`` file, and the
     final rename is atomic."""
     import os
+    from .hostio import host_array
     leaves, _ = jax.tree_util.tree_flatten(state)
-
-    def to_host(leaf):
-        if (hasattr(leaf, "is_fully_addressable")
-                and not leaf.is_fully_addressable):
-            # Multi-controller mesh: assemble the global value.
-            from jax.experimental import multihost_utils
-            leaf = multihost_utils.process_allgather(leaf, tiled=True)
-        return np.asarray(leaf)
-
-    arrays = {f"leaf_{i}": to_host(leaf) for i, leaf in enumerate(leaves)}
+    # The allgather inside host_array is collective: every process in a
+    # multi-controller job must reach this point...
+    arrays = {f"leaf_{i}": host_array(leaf) for i, leaf in enumerate(leaves)}
+    # ...but only process 0 writes (on shared storage N racing writers of
+    # the same path would be redundant at best).
+    if jax.process_index() != 0:
+        return
     tmp = str(path) + f".saving{os.getpid()}"
     np.savez(tmp, **arrays)             # np.savez writes tmp + '.npz'
     written = tmp if os.path.exists(tmp) else tmp + ".npz"
@@ -61,7 +59,10 @@ def restore_checkpoint(path, like_state):
         arr = arr.astype(like.dtype)
         sharding = getattr(like, "sharding", None)
         if sharding is not None:
-            restored.append(jax.device_put(arr, sharding))
+            # Multi-controller-safe placement (device_put cannot address
+            # remote shards of a cross-process mesh).
+            from ..parallel.sharded import _place_global
+            restored.append(_place_global(arr, sharding))
         else:
             restored.append(jax.device_put(arr))
     return jax.tree_util.tree_unflatten(treedef, restored)

@@ -36,15 +36,14 @@ class MetricsLogger:
         now = time.perf_counter()
         step_time = None if self._last_time is None else now - self._last_time
         self._last_time = now
-        from ..api import host_scalar
+        from .hostio import host_scalar
         row = {
             "step": int(step),
             "step_time_s": step_time,
             "phi_norm": host_scalar(aux["phi_norm"]),
             "h2": host_scalar(aux["h2"]),
-            "log_p_mean": host_scalar(
-                aux.get("log_p_mean", float("nan"))
-            ) if "log_p_mean" in aux else float("nan"),
+            "log_p_mean": (host_scalar(aux["log_p_mean"])
+                           if "log_p_mean" in aux else float("nan")),
         }
         self.history.append(row)
         if self.csv_path is not None:

@@ -74,10 +74,30 @@ for _ in range(5):
 
 np.testing.assert_allclose(samples, ref.samples, rtol=1e-9, atol=1e-12)
 
-# Checkpoint round-trip across the multi-controller mesh.
+# Checkpoint round-trip across the multi-controller mesh: the allgather
+# in save is collective (all processes call it; only process 0 writes),
+# then a fresh sampler on the same mesh restores the global state —
+# exercising the cross-process placement path (_place_global) — and must
+# continue identically to the uninterrupted reference.
+from jax.experimental import multihost_utils
+
 ckpt = sys.argv[4] if len(sys.argv) > 4 else None
 if ckpt:
-    sampler.save(ckpt + f".p{pid}")
+    sampler.save(ckpt)
+    multihost_utils.sync_global_devices("ckpt-written")
+    resumed = SVGDSampler(
+        n_particles=16, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+        dtype=jnp.float64, mesh=mesh,
+    )
+    resumed.restore(ckpt)
+    for _ in range(3):
+        resumed.train_on_batch(batch)
+        ref.train_on_batch(ref_batch)
+    np.testing.assert_allclose(
+        resumed.samples, ref.samples, rtol=1e-9, atol=1e-12
+    )
 
 # Ring layout across processes: ppermute hops cross the process boundary
 # (the DCN path on a real multi-host slice).
@@ -101,15 +121,18 @@ np.testing.assert_allclose(
     ring.samples, ring_ref.samples, rtol=1e-6, atol=1e-9
 )
 
-# 2-D particles x model mesh spanning both processes: the Gram psum over
-# the model axis crosses the process boundary.
+# 2-D particles x model mesh spanning both processes. Device order is
+# proc0's 4 devices then proc1's; reshape(2, 4).T pairs device i with
+# device i+4 along the model axis, so every Gram psum genuinely crosses
+# the process boundary (a plain reshape(4, 2) would keep model pairs
+# intra-process and never exercise the DCN path).
 from jax.sharding import Mesh
 
 X8 = rng.normal(size=(30, 8))
 y8 = X8 @ rng.normal(size=(8, 1))
 model8 = LinearRegressionModel(8)
 theta8 = rng.normal(size=(16, 8)) * 0.01
-mesh2d = Mesh(np.asarray(jax.devices()).reshape(4, 2),
+mesh2d = Mesh(np.asarray(jax.devices()).reshape(2, 4).T,
               ("particles", "model"))
 s2d = SVGDSampler(
     n_particles=16, log_p=model8.log_p,

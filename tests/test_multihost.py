@@ -21,10 +21,8 @@ def _free_port():
     return port
 
 
-def test_two_process_mesh_matches_single_device(tmp_path):
-    port = _free_port()
+def _launch(port, ckpt):
     runner = os.path.join(os.path.dirname(__file__), "multihost_runner.py")
-    ckpt = str(tmp_path / "mh")
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)       # runner sets its own device count
     procs = [
@@ -36,20 +34,34 @@ def test_two_process_mesh_matches_single_device(tmp_path):
         for pid in range(2)
     ]
     outs = []
+    ok = True
     for p in procs:
         try:
             out, _ = p.communicate(timeout=240)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multihost runner timed out")
+            ok = False
+            outs.append("<timeout>")
+            continue
         outs.append(out.decode())
+        ok = ok and p.returncode == 0
+    return ok, procs, outs
+
+
+def test_two_process_mesh_matches_single_device(tmp_path):
+    ckpt = str(tmp_path / "mh")
+    # The free port can be stolen between probing and the coordinator's
+    # bind (TOCTOU); retry once on a fresh port before failing.
+    for attempt in range(2):
+        ok, procs, outs = _launch(_free_port(), ckpt)
+        if ok:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"MULTIHOST-OK-{pid}" in out, out
 
-    # Both processes saved identical global checkpoints.
-    a = np.load(ckpt + ".p0")
-    b = np.load(ckpt + ".p1")
-    for k in a.files:
-        np.testing.assert_array_equal(a[k], b[k])
+    # Process 0 wrote the single shared global checkpoint.
+    assert os.path.exists(ckpt)
+    assert not os.path.exists(ckpt + ".p1")
+    np.load(ckpt)  # parses
