@@ -10,13 +10,14 @@ sharding-aware restore)."""
 
 import os
 
-from .checkpoint import save_checkpoint, restore_checkpoint
+from .checkpoint import save_checkpoint
 
 
 def _atomic_save(path, state):
     tmp = path + ".tmp"
-    save_checkpoint(tmp, state)   # lands at exactly tmp (checkpoint.py)
-    os.replace(tmp, path)
+    save_checkpoint(tmp, state)   # lands at exactly tmp (checkpoint.py);
+    if os.path.exists(tmp):       # multi-controller: only process 0 wrote
+        os.replace(tmp, path)
 
 
 def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
