@@ -21,7 +21,8 @@ def _atomic_save(path, state):
 
 
 def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
-                        ckpt_every=1000, on_checkpoint=None):
+                        ckpt_every=1000, on_checkpoint=None,
+                        check_finite=True):
     """Drive ``sampler`` for ``n_iters`` total steps with periodic atomic
     checkpoints, resuming from ``ckpt_path`` if it exists.
 
@@ -36,12 +37,25 @@ def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
 
     Returns the number of steps actually executed in this invocation.
     """
+    from .hostio import host_scalar
+
     if os.path.exists(ckpt_path):
         sampler.restore(ckpt_path)
     executed = 0
     while (done := int(sampler.state.step)) < n_iters:
         k = min(ckpt_every, n_iters - done)
         aux = sampler.train_on_batches(make_batches(done, k))
+        if check_finite:
+            # Divergence detection (failure-detection subsystem,
+            # SURVEY.md §5): refuse to overwrite the last good checkpoint
+            # with NaN state — restart resumes from it.
+            last_norm = host_scalar(aux["phi_norm"][-1])
+            if not last_norm == last_norm:   # NaN check without numpy
+                raise FloatingPointError(
+                    f"SVGD diverged (phi_norm=NaN) in steps "
+                    f"[{done}, {done + k}); last good checkpoint at "
+                    f"{ckpt_path} (step {done})"
+                )
         _atomic_save(ckpt_path, sampler.state)
         executed += k
         if on_checkpoint is not None:

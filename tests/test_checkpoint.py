@@ -135,3 +135,28 @@ def test_train_with_recovery_resumes_after_crash(tmp_path):
     assert executed == 6
     assert int(b.state.step) == 12
     np.testing.assert_array_equal(b.samples, ref.samples)
+
+
+def test_recovery_divergence_detection(tmp_path):
+    """NaN state must not overwrite the last good checkpoint."""
+    from stein_tpu.utils.recovery import train_with_recovery
+
+    ckpt = str(tmp_path / "div.npz")
+    a, batch, model, theta0 = _setup(seed=11)
+    X, y = np.asarray(batch["X"]), np.asarray(batch["y"])
+
+    def make_batches(start, k):
+        if start >= 3:
+            # Poison the data after the first checkpointed chunk.
+            return {"X": jnp.full((k, 5, 3), jnp.nan),
+                    "y": jnp.zeros((k, 5, 1))}
+        idx = (np.arange(k)[:, None] + start + np.arange(10)) % X.shape[0]
+        return {"X": jnp.asarray(X[idx]), "y": jnp.asarray(y[idx])}
+
+    with pytest.raises(FloatingPointError):
+        train_with_recovery(a, 9, make_batches, ckpt, ckpt_every=3)
+    # The checkpoint holds the last GOOD state (step 3, finite).
+    b, _, _, _ = _setup(seed=11)
+    b.restore(ckpt)
+    assert int(b.state.step) == 3
+    assert np.isfinite(b.samples).all()

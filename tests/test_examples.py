@@ -8,6 +8,8 @@ import pytest
 
 EXAMPLES = [
     ("examples/linear_regression.py", ["--n-iters", "120"]),
+    ("examples/linear_regression.py",
+     ["--n-iters", "60", "--plot", "/tmp/linreg_test_plot.png"]),
     ("examples/logistic_regression.py",
      ["--n-iters", "40", "--n-particles", "8", "--n-prog", "20",
       "--n-data", "500"]),
@@ -21,7 +23,7 @@ EXAMPLES = [
 
 
 @pytest.mark.parametrize("script,args", EXAMPLES,
-                         ids=[e[0].split("/")[-1] for e in EXAMPLES])
+                         ids=[f"{i}-{e[0].split(chr(47))[-1]}" for i, e in enumerate(EXAMPLES)])
 def test_example_runs(script, args, capsys, monkeypatch):
     monkeypatch.setattr(sys, "argv", [script] + args)
     runpy.run_path(script, run_name="__main__")

@@ -30,9 +30,13 @@ def _np_grad_log_p(X, y):
     return grad
 
 
-def test_golden_trajectory_adam():
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 7, 42])
+def test_golden_trajectory_adam(seed):
     """SVGDSampler (f64) matches the NumPy oracle elementwise for 10 steps."""
-    X, y, theta0, model, batch = _linreg_setup()
+    X, y, theta0, model, batch = _linreg_setup(seed=seed)
     oracle = NumpySVGD(
         _np_grad_log_p(X, y), theta0, NumpyAdam(learning_rate=1e-1)
     )
