@@ -16,6 +16,9 @@ EXAMPLES = [
     ("examples/regression_neural_network.py",
      ["--n-iters", "40", "--n-particles", "4", "--n-hidden", "8",
       "--n-prog", "20"]),
+    ("examples/production_run.py",
+     ["--n-iters", "40", "--n-particles", "8", "--n-batch", "16",
+      "--ckpt-every", "20", "--ckpt", "/tmp/svgd_prod_test.ckpt"]),
     ("examples/large_particle.py",
      ["--n-particles", "64", "--n-feats", "4", "--n-obs", "50",
       "--n-iters", "21", "--chunk", "10", "--kernel-impl", "xla"]),
@@ -28,4 +31,5 @@ def test_example_runs(script, args, capsys, monkeypatch):
     monkeypatch.setattr(sys, "argv", [script] + args)
     runpy.run_path(script, run_name="__main__")
     out = capsys.readouterr().out
-    assert "Time elapsed" in out or "steps/s" in out or "posterior" in out
+    assert ("Time elapsed" in out or "steps/s" in out or "posterior" in out
+            or "KSD" in out)
