@@ -97,7 +97,11 @@ def main():
     print(f"executed {executed} steps this invocation "
           f"({time.time() - t0:.1f}s); total step count "
           f"{int(sampler.state.step)}")
-    print(f"final KSD^2: {sampler.ksd(test_batch):.4g}")
+    # KSD against the trained-for target: log_p's n_train/n_batch
+    # likelihood scaling assumes an n_batch-sized batch, so evaluate on
+    # one (a full test batch would correspond to a different posterior).
+    ksd_batch = {"X": X_j[:args.n_batch], "y": y_j[:args.n_batch]}
+    print(f"final KSD^2: {sampler.ksd(ksd_batch):.4g}")
 
 
 if __name__ == "__main__":

@@ -8,7 +8,10 @@ long single-host runs and for multi-host jobs that restart from a common
 step (each host re-places leaves onto its mesh shards via the
 sharding-aware restore)."""
 
+import math
 import os
+
+import jax
 
 from .checkpoint import save_checkpoint
 
@@ -16,7 +19,7 @@ from .checkpoint import save_checkpoint
 def _atomic_save(path, state):
     tmp = path + ".tmp"
     save_checkpoint(tmp, state)   # lands at exactly tmp (checkpoint.py);
-    if os.path.exists(tmp):       # multi-controller: only process 0 wrote
+    if jax.process_index() == 0:  # only process 0 wrote (race-free guard)
         os.replace(tmp, path)
 
 
@@ -37,9 +40,22 @@ def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
 
     Returns the number of steps actually executed in this invocation.
     """
+    import jax.numpy as jnp
+
     from .hostio import host_scalar
 
-    if os.path.exists(ckpt_path):
+    # ckpt_path must be on storage visible to every process of a
+    # multi-controller job (only process 0 writes; all read). The
+    # resume decision is broadcast from process 0 so all processes take
+    # the same branch even if filesystem visibility races.
+    exists = os.path.exists(ckpt_path)
+    if jax.process_count() > 1:
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        exists = bool(
+            multihost_utils.broadcast_one_to_all(_np.asarray(exists))
+        )
+    if exists:
         sampler.restore(ckpt_path)
     executed = 0
     while (done := int(sampler.state.step)) < n_iters:
@@ -48,11 +64,15 @@ def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
         if check_finite:
             # Divergence detection (failure-detection subsystem,
             # SURVEY.md §5): refuse to overwrite the last good checkpoint
-            # with NaN state — restart resumes from it.
-            last_norm = host_scalar(aux["phi_norm"][-1])
-            if not last_norm == last_norm:   # NaN check without numpy
+            # with non-finite state — restart resumes from it. The probe
+            # is the POST-update particle sum (any NaN/Inf coordinate
+            # makes it non-finite), not the pre-update phi norm, so
+            # divergence on the chunk's final step is caught too.
+            probe = host_scalar(jnp.sum(sampler.state.particles))
+            if not (math.isfinite(probe)
+                    and math.isfinite(host_scalar(aux["phi_norm"][-1]))):
                 raise FloatingPointError(
-                    f"SVGD diverged (phi_norm=NaN) in steps "
+                    f"SVGD diverged (non-finite state) in steps "
                     f"[{done}, {done + k}); last good checkpoint at "
                     f"{ckpt_path} (step {done})"
                 )

@@ -18,7 +18,7 @@ EXAMPLES = [
       "--n-prog", "20"]),
     ("examples/production_run.py",
      ["--n-iters", "40", "--n-particles", "8", "--n-batch", "16",
-      "--ckpt-every", "20", "--ckpt", "/tmp/svgd_prod_test.ckpt"]),
+      "--ckpt-every", "20", "--ckpt", "{tmp}/prod.ckpt"]),
     ("examples/large_particle.py",
      ["--n-particles", "64", "--n-feats", "4", "--n-obs", "50",
       "--n-iters", "21", "--chunk", "10", "--kernel-impl", "xla"]),
@@ -27,7 +27,10 @@ EXAMPLES = [
 
 @pytest.mark.parametrize("script,args", EXAMPLES,
                          ids=[f"{i}-{e[0].split(chr(47))[-1]}" for i, e in enumerate(EXAMPLES)])
-def test_example_runs(script, args, capsys, monkeypatch):
+def test_example_runs(script, args, capsys, monkeypatch, tmp_path):
+    if "--plot" in args:
+        pytest.importorskip("matplotlib")
+    args = [a.format(tmp=tmp_path) if "{tmp}" in a else a for a in args]
     monkeypatch.setattr(sys, "argv", [script] + args)
     runpy.run_path(script, run_name="__main__")
     out = capsys.readouterr().out

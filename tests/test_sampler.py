@@ -4,6 +4,7 @@ posterior-moment checks against the conjugate closed form."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from baselines.numpy_svgd import NumpySVGD, NumpyAdam, NumpyAdagrad
 from stein_tpu import SVGDSampler, Adam, Adagrad
@@ -28,9 +29,6 @@ def _np_grad_log_p(X, y):
         w = theta_row.reshape(-1, 1)
         return (X.T @ (y - X @ w) - w).ravel()
     return grad
-
-
-import pytest
 
 
 @pytest.mark.parametrize("seed", [0, 7, 42])
