@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--median", type=str, default="bisect",
                     choices=["bisect", "subsample", "binned", "exact"])
     ap.add_argument("--median-passes", type=int, default=16)
+    ap.add_argument("--warm", action="store_true",
+                    help="warm-started median across scanned steps")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -60,6 +62,7 @@ def main():
         kernel_impl=args.kernel_impl,
         median=args.median,
         median_passes=args.median_passes,
+        warm_median=args.warm,
     )
 
     # Warmup compiles the scan at the exact chunk length used below (a

@@ -128,6 +128,39 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
 
 
+def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
+                     median_passes=30, warm_passes=8, pallas_block=512,
+                     pallas_interpret=False):
+    """phi_fn variant threading the previous step's median through the
+    scan: phi_fn(theta, grads, med_prev) -> (phi, aux); aux['median'] is
+    the hint for the next step (ops/median.warm_bisect_median)."""
+    from .ops.median import warm_bisect_median
+
+    def compute_med(theta, med_prev):
+        return warm_bisect_median(
+            theta, med_prev, max_rows=median_max_rows,
+            cold_passes=median_passes, warm_passes=warm_passes,
+        )
+
+    if kernel_impl == "pallas":
+        from .ops.pallas_svgd import pallas_svgd_phi
+
+        def phi_fn(theta, grads, med_prev):
+            med = compute_med(theta, med_prev)
+            h2 = rbf.bandwidth_sq_from_median(med, n_particles)
+            phi = pallas_svgd_phi(
+                theta, grads, h2, block_i=pallas_block,
+                block_j=pallas_block, interpret=pallas_interpret,
+            )
+            return phi, {"h2": h2, "median": med}
+        return phi_fn
+
+    def phi_fn(theta, grads, med_prev):
+        med = compute_med(theta, med_prev)
+        return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
+    return phi_fn
+
+
 def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
                  remat=False):
     """Build the pure SVGD step: (state, batch) -> (state, aux).
@@ -164,6 +197,39 @@ def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
             **kaux,
         }
         return new_state, aux
+
+    return step_fn
+
+
+def make_warm_step_fn(log_p, unravel_fn, gd, warm_phi_fn,
+                      max_phi_norm=10.0, remat=False):
+    """Scan-carried step for warm-median sampling: carry is
+    (SVGDState, med_prev)."""
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
+
+    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def step_fn(carry, batch):
+        state, med_prev = carry
+        theta = state.particles
+        log_p_vals, grads = grad_all(theta, batch)
+        phi, kaux = warm_phi_fn(theta, grads, med_prev)
+        norm = jnp.sqrt(jnp.sum(phi * phi))
+        c = jnp.asarray(max_phi_norm, theta.dtype)
+        phi = phi * (c / jnp.maximum(c, norm))
+        delta, opt_state = gd.update(state.opt_state, phi)
+        new_state = SVGDState(theta + delta, opt_state, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jnp.mean(log_p_vals),
+            **kaux,
+        }
+        return (new_state, kaux["median"]), aux
 
     return step_fn
 
@@ -212,7 +278,7 @@ class SVGDSampler:
                  donate=True, pallas_block=512, pallas_interpret=False,
                  model_axis=None, comm="all_gather", remat=False,
                  kernel=None, binned_bins=4096, binned_block_rows=256,
-                 median_passes=30):
+                 median_passes=30, warm_median=False):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -274,6 +340,29 @@ class SVGDSampler:
                 self._step_fn, donate_argnums=donate_argnums
             )
             self.state = state
+            # Opt-in warm-median fast path for the scan-based loops
+            # (run / train_on_batches): carries the previous median so
+            # each step needs ~warm_passes bisections instead of a cold
+            # search (~2x step time at small n). Off by default so
+            # run(k) stays bit-equal to k train_on_batch calls.
+            self._warm_step_fn = None
+            if warm_median:
+                if median != "bisect" or kernel is not None:
+                    raise ValueError(
+                        "warm_median=True requires median='bisect' and "
+                        "the default RBF kernel"
+                    )
+                warm_phi = make_warm_phi_fn(
+                    self.n_particles, kernel_impl=kernel_impl,
+                    median_max_rows=median_max_rows,
+                    median_passes=median_passes,
+                    pallas_block=pallas_block,
+                    pallas_interpret=pallas_interpret,
+                )
+                self._warm_step_fn = make_warm_step_fn(
+                    log_p, self.unravel_fn, gd, warm_phi,
+                    max_phi_norm=max_phi_norm, remat=remat,
+                )
         else:
             # The sharded steps implement their own tiled RBF kernel path;
             # options they cannot honour must fail loudly, not silently
@@ -320,6 +409,8 @@ class SVGDSampler:
         self._jit_run = None
         self._jit_multi = None
         self._jit_ksd = None
+        if not hasattr(self, "_warm_step_fn"):
+            self._warm_step_fn = None
 
     # ------------------------------------------------------------------ API
 
@@ -337,11 +428,20 @@ class SVGDSampler:
         (examples/linear_regression/main.py:42-48). Returns aux with a
         leading [n_steps] axis."""
         if self._jit_run is None:
-            def multi(state, batch, n):
-                return jax.lax.scan(
-                    lambda s, _: self._step_fn(s, batch), state, None,
-                    length=n,
-                )
+            if self._warm_step_fn is not None:
+                def multi(state, batch, n):
+                    med0 = jnp.zeros((), state.particles.dtype)
+                    (s, _), aux = jax.lax.scan(
+                        lambda c, _: self._warm_step_fn(c, batch),
+                        (state, med0), None, length=n,
+                    )
+                    return s, aux
+            else:
+                def multi(state, batch, n):
+                    return jax.lax.scan(
+                        lambda s, _: self._step_fn(s, batch), state, None,
+                        length=n,
+                    )
             self._jit_run = jax.jit(
                 multi, static_argnums=(2,),
                 donate_argnums=(0,) if self._donate else (),
@@ -355,8 +455,16 @@ class SVGDSampler:
         minibatches, e.g. pre-sampled indices of a dataset). Returns aux
         with a leading [k] axis."""
         if self._jit_multi is None:
-            def multi(state, batches):
-                return jax.lax.scan(self._step_fn, state, batches)
+            if self._warm_step_fn is not None:
+                def multi(state, batches):
+                    med0 = jnp.zeros((), state.particles.dtype)
+                    (s, _), aux = jax.lax.scan(
+                        self._warm_step_fn, (state, med0), batches
+                    )
+                    return s, aux
+            else:
+                def multi(state, batches):
+                    return jax.lax.scan(self._step_fn, state, batches)
             self._jit_multi = jax.jit(
                 multi, donate_argnums=(0,) if self._donate else ()
             )

@@ -254,6 +254,58 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
     return 0.5 * ((lo_a + hi_a) * 0.5 + (lo_b + hi_b) * 0.5)
 
 
+def warm_bisect_median(theta, med_prev, max_rows=512, cold_passes=30,
+                       warm_passes=8):
+    """Bisect median warm-started from the previous step's value.
+
+    SVGD particles move a small fraction of the inter-particle scale per
+    step, so the median of D drifts slowly; when the target rank provably
+    lies inside [0.8, 1.25] x med_prev (checked with one counting pass),
+    ``warm_passes`` bisections of that tight interval resolve the median
+    to ~0.45 * med_prev / 2^warm_passes (~0.2% at 8) — vs ``cold_passes``
+    over the full value range otherwise (first step, or a >25% jump).
+    The sequential count kernels dominate small-n step time, so this is
+    a ~2x step-time lever (see benchmarks/RESULTS.md).
+    """
+    n = theta.shape[0]
+    rowsq = jnp.sum(theta * theta, axis=1)
+    if n <= max_rows:
+        D = _row_block_sq_dists(theta, theta, rowsq, rowsq)
+    else:
+        stride = n // max_rows
+        idx = jnp.arange(max_rows) * stride
+        D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+
+    total = D.size
+    k = (total + 1) // 2
+    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
+    k_c = jnp.asarray(k, cdt)
+
+    lo_w = 0.8 * med_prev
+    hi_w = 1.25 * med_prev
+    cnt_lo = jnp.sum(D <= lo_w, dtype=cdt)
+    cnt_hi = jnp.sum(D <= hi_w, dtype=cdt)
+    valid = (med_prev > 0) & (cnt_lo < k_c) & (cnt_hi >= k_c)
+
+    def count_le(mid, _cdt):
+        return jnp.sum(D <= mid, dtype=_cdt)
+
+    def run(lo0, hi0, passes):
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            go_lo = count_le(mid, cdt) >= k_c
+            return jnp.where(go_lo, lo, mid), jnp.where(go_lo, mid, hi)
+        lo, hi = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
+        return 0.5 * (lo + hi)
+
+    return jax.lax.cond(
+        valid,
+        lambda: run(lo_w, hi_w, warm_passes),
+        lambda: run(jnp.minimum(jnp.min(D), 0.0), jnp.max(D), cold_passes),
+    )
+
+
 def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
                           passes=30):
     """Distributed sort-free median for the all-gather sharded step: each
