@@ -115,16 +115,28 @@ def _bisect_search(count_le, total, lo0, hi0, passes):
     k_hi_c = jnp.asarray(k_hi, cdt)
 
     if total > 100_000:
-        def body(_, carry):
-            lo_a, hi_a = carry
-            mid_a = 0.5 * (lo_a + hi_a)
-            go_lo = count_le(mid_a, cdt) >= k_lo_c
-            return (
-                jnp.where(go_lo, lo_a, mid_a),
-                jnp.where(go_lo, mid_a, hi_a),
-            )
+        # Quad-ary refinement: three thresholds per round share ONE pass
+        # over D (XLA fuses the three compare+sum reductions into a
+        # single read), gaining 2 bits per sequential kernel — the
+        # sequential kernel count is what dominates small-n step time.
+        # ceil(passes/2) rounds give the same precision as `passes`
+        # binary halvings.
+        rounds = (passes + 1) // 2
 
-        lo_a, hi_a = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
+        def body(_, carry):
+            lo, hi = carry
+            w = 0.25 * (hi - lo)
+            c1 = count_le(lo + w, cdt) < k_lo_c
+            c2 = count_le(lo + 2.0 * w, cdt) < k_lo_c
+            c3 = count_le(lo + 3.0 * w, cdt) < k_lo_c
+            # b = number of interior thresholds below the target rank =
+            # index of the sub-interval containing it.
+            b = (c1.astype(lo.dtype) + c2.astype(lo.dtype)
+                 + c3.astype(lo.dtype))
+            lo_new = lo + b * w
+            return lo_new, lo_new + w
+
+        lo_a, hi_a = jax.lax.fori_loop(0, rounds, body, (lo0, hi0))
         return 0.5 * (lo_a + hi_a)
 
     def body(_, carry):

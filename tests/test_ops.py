@@ -208,3 +208,21 @@ def test_warm_median_sampler_tracks_cold():
         b.samples.mean(axis=0), a.samples.mean(axis=0), rtol=5e-3,
         atol=1e-3,
     )
+
+
+def test_bisect_quad_branch_accuracy():
+    """Single-rank quad-ary branch (total > 100k): vs the exact order
+    statistic."""
+    from stein_tpu.ops.median import bisect_median
+    rng = np.random.default_rng(22)
+    theta = rng.normal(size=(600, 5))          # total = 512*600 = 307k
+    D = numpy_svgd.pairwise_sq_dists(theta)
+    rows = np.arange(512) * (600 // 512)
+    Dsub = D[rows]                             # matches the strided subsample
+    vals = np.sort(Dsub.ravel())
+    k_lo = (vals.size + 1) // 2
+    exact = vals[k_lo - 1]
+    med = float(bisect_median(jnp.asarray(theta), max_rows=512, passes=30))
+    assert abs(med - exact) / exact < 1e-6
+    med16 = float(bisect_median(jnp.asarray(theta), max_rows=512, passes=16))
+    assert abs(med16 - exact) / exact < 1e-3
