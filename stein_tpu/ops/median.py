@@ -120,7 +120,8 @@ def _bisect_search(count_le, total, lo0, hi0, passes):
         # single read), gaining 2 bits per sequential kernel — the
         # sequential kernel count is what dominates small-n step time.
         # ceil(passes/2) rounds give the same precision as `passes`
-        # binary halvings.
+        # binary halvings. (8-ary measured no better: with 7 reductions
+        # the fusion stops paying — 53 vs 48 us/step at n=1000.)
         rounds = (passes + 1) // 2
 
         def body(_, carry):
