@@ -96,10 +96,13 @@ def bisect_median(theta, max_rows=512, passes=30):
     return _bisect_search(count_le, D.size, lo0, hi0, passes)
 
 
-def _bisect_search(count_le, total, lo0, hi0, passes):
+def _bisect_search(count_le, total, lo0, hi0, passes, count_many=None):
     """Shared bisection core: find the median's order statistic(s) of a
     distribution queryable only through ``count_le(mid, count_dtype) ->
     |{x <= mid}|`` (a streaming count, possibly psum'd across shards).
+    ``count_many(ts, cdt) -> [len(ts)] counts`` may be supplied to batch
+    multiple thresholds into one collective (the sharded caller turns the
+    quad-ary round's three counts into a single psum).
 
     For large totals the two middle order statistics are separated by
     ~1/total of the distribution — far below the bandwidth heuristic's
@@ -114,6 +117,10 @@ def _bisect_search(count_le, total, lo0, hi0, passes):
     k_lo_c = jnp.asarray(k_lo, cdt)
     k_hi_c = jnp.asarray(k_hi, cdt)
 
+    if count_many is None:
+        def count_many(ts, cdt):
+            return jnp.stack([count_le(t, cdt) for t in ts])
+
     if total > 100_000:
         # Quad-ary refinement: three thresholds per round share ONE pass
         # over D (XLA fuses the three compare+sum reductions into a
@@ -127,13 +134,10 @@ def _bisect_search(count_le, total, lo0, hi0, passes):
         def body(_, carry):
             lo, hi = carry
             w = 0.25 * (hi - lo)
-            c1 = count_le(lo + w, cdt) < k_lo_c
-            c2 = count_le(lo + 2.0 * w, cdt) < k_lo_c
-            c3 = count_le(lo + 3.0 * w, cdt) < k_lo_c
+            cnts = count_many((lo + w, lo + 2.0 * w, lo + 3.0 * w), cdt)
             # b = number of interior thresholds below the target rank =
             # index of the sub-interval containing it.
-            b = (c1.astype(lo.dtype) + c2.astype(lo.dtype)
-                 + c3.astype(lo.dtype))
+            b = jnp.sum((cnts < k_lo_c).astype(lo.dtype))
             lo_new = lo + b * w
             return lo_new, lo_new + w
 
@@ -345,7 +349,14 @@ def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
     def count_le(mid, cdt):
         return jax.lax.psum(jnp.sum(D <= mid, dtype=cdt), axis_name)
 
-    return _bisect_search(count_le, total, lo0, hi0, passes)
+    def count_many(ts, cdt):
+        # Batch the round's local counts into ONE psum (one collective
+        # per quad-ary round instead of three).
+        local = jnp.stack([jnp.sum(D <= t, dtype=cdt) for t in ts])
+        return jax.lax.psum(local, axis_name)
+
+    return _bisect_search(count_le, total, lo0, hi0, passes,
+                          count_many=count_many)
 
 
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
