@@ -76,7 +76,9 @@ def main():
         ])
         return {"X": X_j[idx], "y": y_j[idx]}
 
-    metrics = MetricsLogger(log_every=0, csv_path=args.csv)
+    # resume=True: a restarted run appends to the CSV instead of
+    # truncating the pre-crash history.
+    metrics = MetricsLogger(log_every=0, csv_path=args.csv, resume=True)
     test_batch = {"X": jnp.asarray(X_test, jnp.float32),
                   "y": jnp.asarray(y_test, jnp.float32)}
 

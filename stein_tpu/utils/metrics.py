@@ -22,11 +22,16 @@ class MetricsLogger:
         for step in ...:
             aux = sampler.train_on_batch(batch)
             metrics.record(step, aux)
+
+    ``resume=True`` appends to an existing CSV instead of truncating it —
+    required when paired with the crash-recovery loop (utils/recovery.py),
+    where a restart must not lose the pre-crash metric history.
     """
 
-    def __init__(self, log_every=100, csv_path=None):
+    def __init__(self, log_every=100, csv_path=None, resume=False):
         self.log_every = log_every
         self.csv_path = csv_path
+        self.resume = resume
         self._csv_file = None
         self._csv_writer = None
         self._last_time = None
@@ -48,11 +53,20 @@ class MetricsLogger:
         self.history.append(row)
         if self.csv_path is not None:
             if self._csv_writer is None:
-                self._csv_file = open(self.csv_path, "w", newline="")
+                import os
+                append = (
+                    self.resume
+                    and os.path.exists(self.csv_path)
+                    and os.path.getsize(self.csv_path) > 0
+                )
+                self._csv_file = open(
+                    self.csv_path, "a" if append else "w", newline=""
+                )
                 self._csv_writer = csv.DictWriter(
                     self._csv_file, fieldnames=list(row)
                 )
-                self._csv_writer.writeheader()
+                if not append:
+                    self._csv_writer.writeheader()
             self._csv_writer.writerow(row)
             self._csv_file.flush()
         if self.log_every and step % self.log_every == 0:

@@ -79,6 +79,53 @@ def test_restore_shape_mismatch_raises(tmp_path):
         b.restore(ckpt)
 
 
+def test_restore_leaf_reorder_rejected(tmp_path):
+    """A checkpoint whose pytree structure reordered/renamed same-shaped
+    leaves (e.g. a refactor swapping mu/nu) is rejected at restore rather
+    than restored silently wrong."""
+    import collections
+    from stein_tpu.utils.checkpoint import save_checkpoint, \
+        restore_checkpoint
+
+    A = collections.namedtuple("A", ["mu", "nu", "step"])
+    B = collections.namedtuple("B", ["nu", "mu", "step"])
+    state = A(mu=jnp.ones((4, 2)), nu=jnp.full((4, 2), 2.0),
+              step=jnp.zeros((), jnp.int32))
+    ckpt = str(tmp_path / "sig.npz")
+    save_checkpoint(ckpt, state)
+    # Same structure restores fine.
+    restored = restore_checkpoint(ckpt, state)
+    np.testing.assert_array_equal(np.asarray(restored.nu), 2.0)
+    # Field-swapped structure (identical shapes!) is rejected.
+    swapped = B(nu=jnp.zeros((4, 2)), mu=jnp.zeros((4, 2)),
+                step=jnp.zeros((), jnp.int32))
+    with pytest.raises(ValueError, match="structure"):
+        restore_checkpoint(ckpt, swapped)
+
+
+def test_metrics_resume_appends(tmp_path):
+    """resume=True appends to the CSV across a crash-restart cycle instead
+    of truncating the pre-crash history."""
+    from stein_tpu.utils.metrics import MetricsLogger
+    a, batch, _, _ = _setup()
+    csv_path = str(tmp_path / "metrics.csv")
+    m1 = MetricsLogger(log_every=0, csv_path=csv_path, resume=True)
+    for step in range(3):
+        m1.record(step, a.train_on_batch(batch))
+    m1.close()    # "crash" after 3 rows
+    m2 = MetricsLogger(log_every=0, csv_path=csv_path, resume=True)
+    for step in range(3, 5):
+        m2.record(step, a.train_on_batch(batch))
+    m2.close()
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 6  # ONE header + 5 rows: history survived
+    assert lines[0].startswith("step")
+    assert [ln.split(",")[0] for ln in lines[1:]] == [
+        "0", "1", "2", "3", "4"
+    ]
+
+
 def test_metrics_logger(tmp_path):
     from stein_tpu.utils.metrics import MetricsLogger
     a, batch, _, _ = _setup()
