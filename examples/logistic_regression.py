@@ -42,6 +42,19 @@ def generate_data(seed=0, n=20000, n_feats=54):
     return X, y
 
 
+def load_covertype(path):
+    """Load the reference's covertype.mat with its exact semantics
+    (reference: examples/logistic_regression/main.py:11-13): the 'covtype'
+    matrix's first column is the label (2 relabelled to 0), the rest are
+    features. The file itself is absent from the reference repo
+    (.MISSING_LARGE_BLOBS:1) — supply your own copy via --data."""
+    from scipy import io
+    data = io.loadmat(path)["covtype"]
+    X, y = data[:, 1:], data[:, :1].astype(np.float64)
+    y[y == 2] = 0.0
+    return X, y
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-iters", type=int, default=6000)
@@ -51,10 +64,21 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-data", type=int, default=20000,
                     help="dataset rows (581012 = true Covertype scale)")
+    ap.add_argument("--data", type=str, default=None,
+                    help="path to covertype.mat — loads the REAL Covertype "
+                         "dataset with the reference's semantics "
+                         "(logistic_regression/main.py:11-16) instead of "
+                         "synthetic data")
     args = ap.parse_args()
 
-    X, y = generate_data(args.seed, n=args.n_data)
+    if args.data:
+        X, y = load_covertype(args.data)
+    else:
+        X, y = generate_data(args.seed, n=args.n_data)
     n_total = X.shape[0]
+    # Shuffled 80/20 train/test split (the reference's
+    # train_test_split(test_size=0.2), main.py:14-16, seeded here for
+    # reproducibility).
     rng = np.random.default_rng(args.seed + 1)
     perm = rng.permutation(n_total)
     n_test = n_total // 5
