@@ -48,7 +48,7 @@ class SVGDState(NamedTuple):
 def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
                 median_max_rows=512, binned_bins=4096, binned_block_rows=256,
                 pallas_block=512, pallas_interpret=False, kernel=None,
-                median_passes=30):
+                median_passes=30, pallas_precision="f32"):
     """Build phi_fn(theta, grads) -> (phi, aux) for the requested backend.
 
     kernel_impl="xla": materialise the [n, n] kernel once; XLA fuses the
@@ -121,6 +121,7 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
             phi = pallas_svgd_phi(
                 theta, grads, h2, block_i=pallas_block,
                 block_j=pallas_block, interpret=pallas_interpret,
+                precision=pallas_precision,
             )
             return phi, {"h2": h2, "median": med}
 
@@ -130,16 +131,24 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
 
 def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
                      median_passes=30, warm_passes=8, pallas_block=512,
-                     pallas_interpret=False):
+                     pallas_interpret=False, pallas_precision="f32"):
     """phi_fn variant threading the previous step's median through the
     scan: phi_fn(theta, grads, med_prev) -> (phi, aux); aux['median'] is
-    the hint for the next step (ops/median.warm_bisect_median)."""
+    the hint for the next step (ops/median.warm_bisect_median, branchless).
+    The returned function carries ``init_med(theta)`` — a full cold bisect
+    used to seed the scan carry, so the in-scan warm search never runs
+    from a cold (full-range) interval."""
     from .ops.median import warm_bisect_median
 
     def compute_med(theta, med_prev):
         return warm_bisect_median(
             theta, med_prev, max_rows=median_max_rows,
-            cold_passes=median_passes, warm_passes=warm_passes,
+            warm_passes=warm_passes,
+        )
+
+    def init_med(theta):
+        return bisect_median(
+            theta, max_rows=median_max_rows, passes=median_passes
         )
 
     if kernel_impl == "pallas":
@@ -151,13 +160,16 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
             phi = pallas_svgd_phi(
                 theta, grads, h2, block_i=pallas_block,
                 block_j=pallas_block, interpret=pallas_interpret,
+                precision=pallas_precision,
             )
             return phi, {"h2": h2, "median": med}
+        phi_fn.init_med = init_med
         return phi_fn
 
     def phi_fn(theta, grads, med_prev):
         med = compute_med(theta, med_prev)
         return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
+    phi_fn.init_med = init_med
     return phi_fn
 
 
@@ -260,15 +272,31 @@ class SVGDSampler:
     kernel_impl : "xla" | "pallas". "pallas" (the large-n streaming kernel)
         requires a median mode that does not materialise D, i.e. not
         "exact".
+    pallas_precision : "f32" (default) | "bf16" — matmul input precision
+        inside the Pallas tiles (accumulation is always f32). bf16 triples
+        the nominal MXU rate at ~1e-2 relative kernel error, but the
+        streaming tile is exp/VPU-bound on v5e, where it measured no
+        faster — kept as an opt-in for MXU-bound shapes (large p).
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). With a mesh,
-        kernel_impl/kernel are not configurable (the sharded step has its
-        own tiled RBF path) and raise if set to non-defaults.
+        kernel_impl is not configurable (the sharded step has its own
+        tiled kernel path and raises for non-defaults); custom ``kernel``
+        objects ARE supported on a 1-D particle mesh (both comm modes)
+        via the generic weights-kernel tile, but not on a 2-D
+        particles x model mesh.
     model_axis : optional second mesh axis name to additionally shard the
         parameter dimension (stein_tpu.parallel.sharded2d).
     comm : "all_gather" | "ring" block exchange for the 1-D sharded step.
     remat : rematerialise log_p's forward in the backward (jax.checkpoint).
+    warm_median / warm_passes : opt-in fast path for the scan loops
+        (run / train_on_batches): carry the previous step's median through
+        the scan and refine it inside a count-verified tight bracket
+        (ops/median.warm_bisect_median, branchless) — ~2x cheaper median
+        with bounded bandwidth error (~0.17*med/4^ceil(warm_passes/2) per
+        step, re-verified every step so it never accumulates). Requires
+        median='bisect' and the default RBF kernel. Off by default so
+        run(k) stays bit-equal to k train_on_batch calls.
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -278,7 +306,8 @@ class SVGDSampler:
                  donate=True, pallas_block=512, pallas_interpret=False,
                  model_axis=None, comm="all_gather", remat=False,
                  kernel=None, binned_bins=4096, binned_block_rows=256,
-                 median_passes=30, warm_median=False):
+                 median_passes=30, warm_median=False, warm_passes=8,
+                 pallas_precision="f32"):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -308,10 +337,11 @@ class SVGDSampler:
             # caller's array must survive (and may be shared across
             # samplers).
             theta0 = jnp.array(theta, dtype, copy=True)
-            assert theta0.shape == (self.n_particles, self.n_params), (
-                f"theta shape {theta0.shape} != "
-                f"{(self.n_particles, self.n_params)}"
-            )
+            if theta0.shape != (self.n_particles, self.n_params):
+                raise ValueError(
+                    f"theta shape {theta0.shape} != "
+                    f"{(self.n_particles, self.n_params)}"
+                )
         else:
             if key is None:
                 key = jax.random.PRNGKey(0)
@@ -330,6 +360,7 @@ class SVGDSampler:
                 pallas_interpret=pallas_interpret, kernel=kernel,
                 binned_bins=binned_bins, binned_block_rows=binned_block_rows,
                 median_passes=median_passes,
+                pallas_precision=pallas_precision,
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,
@@ -356,29 +387,40 @@ class SVGDSampler:
                     self.n_particles, kernel_impl=kernel_impl,
                     median_max_rows=median_max_rows,
                     median_passes=median_passes,
+                    warm_passes=warm_passes,
                     pallas_block=pallas_block,
                     pallas_interpret=pallas_interpret,
+                    pallas_precision=pallas_precision,
                 )
                 self._warm_step_fn = make_warm_step_fn(
                     log_p, self.unravel_fn, gd, warm_phi,
                     max_phi_norm=max_phi_norm, remat=remat,
                 )
+                self._warm_init_med = warm_phi.init_med
         else:
-            # The sharded steps implement their own tiled RBF kernel path;
+            # The sharded steps implement their own tiled kernel path;
             # options they cannot honour must fail loudly, not silently
             # fall back (a custom kernel silently replaced by RBF would
             # sample the wrong posterior geometry).
-            if kernel is not None:
+            if kernel is not None and model_axis is not None:
                 from .kernels import SquaredExponentialKernel
                 if not isinstance(kernel, SquaredExponentialKernel):
                     raise NotImplementedError(
-                        "custom kernels are not yet supported on a mesh — "
-                        "the sharded step is hard-wired to the RBF kernel"
+                        "custom kernels are not supported with a 2-D "
+                        "(particles x model) mesh — the model-sharded Gram "
+                        "contraction is hard-wired to the RBF kernel; use "
+                        "a 1-D particle mesh for custom kernels"
                     )
             if kernel_impl != "xla":
                 raise ValueError(
                     "kernel_impl is not configurable with a mesh; the "
                     "sharded step uses its own tiled kernel path"
+                )
+            if warm_median:
+                raise ValueError(
+                    "warm_median is not supported with a mesh; use "
+                    "median='bisect' (the sharded bisect median psums its "
+                    "counts) without warm start"
                 )
             if model_axis is not None:
                 from .parallel.sharded2d import make_sharded2d_step
@@ -402,7 +444,7 @@ class SVGDSampler:
                         binned_bins=binned_bins,
                         binned_block_rows=binned_block_rows, remat=remat,
                         median_max_rows=median_max_rows,
-                        median_passes=median_passes,
+                        median_passes=median_passes, kernel=kernel,
                     )
 
         self._posterior_cache = {}
@@ -430,7 +472,11 @@ class SVGDSampler:
         if self._jit_run is None:
             if self._warm_step_fn is not None:
                 def multi(state, batch, n):
-                    med0 = jnp.zeros((), state.particles.dtype)
+                    # Seed the carry with a full cold median so the
+                    # in-scan warm search starts from a verified bracket.
+                    med0 = self._warm_init_med(state.particles).astype(
+                        state.particles.dtype
+                    )
                     (s, _), aux = jax.lax.scan(
                         lambda c, _: self._warm_step_fn(c, batch),
                         (state, med0), None, length=n,
@@ -457,7 +503,9 @@ class SVGDSampler:
         if self._jit_multi is None:
             if self._warm_step_fn is not None:
                 def multi(state, batches):
-                    med0 = jnp.zeros((), state.particles.dtype)
+                    med0 = self._warm_init_med(state.particles).astype(
+                        state.particles.dtype
+                    )
                     (s, _), aux = jax.lax.scan(
                         self._warm_step_fn, (state, med0), batches
                     )

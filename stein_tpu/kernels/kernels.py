@@ -20,6 +20,7 @@ baselines/numpy_svgd.py for the derivation).
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import rbf
@@ -66,7 +67,9 @@ class InverseMultiquadricKernel:
         h2 = rbf.bandwidth_sq_from_median(median_fn(D), n)
         K, W = self.weights(D, h2)
         wsum = jnp.sum(W, axis=1, keepdims=True)
-        dK = wsum * theta - W @ theta
+        dK = wsum * theta - jnp.matmul(
+            W, theta, precision=jax.lax.Precision.HIGHEST
+        )
         return K, dK
 
 
@@ -82,10 +85,12 @@ def generic_svgd_phi(kernel, theta, grads, median_fn=exact_median):
     med = median_fn(D)
     h2 = rbf.bandwidth_sq_from_median(med, n)
     K, W = kernel.weights(D, h2)
-    attract = jnp.matmul(K, grads, preferred_element_type=theta.dtype)
+    attract = jnp.matmul(K, grads, preferred_element_type=theta.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     wsum = jnp.sum(W, axis=1, keepdims=True)
     repulse = wsum * theta - jnp.matmul(
-        W, theta, preferred_element_type=theta.dtype
+        W, theta, preferred_element_type=theta.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     phi = (attract + repulse) / n
     return phi, {"h2": h2, "median": med}

@@ -15,6 +15,7 @@ off-diagonal mean (U-statistic). Everything is a handful of [n, n] / [n, p]
 MXU contractions.
 """
 
+import jax
 import jax.numpy as jnp
 
 from . import rbf
@@ -35,8 +36,11 @@ def ksd_rbf(theta, grads, h2=None, u_statistic=False):
         h2 = rbf.bandwidth_sq_from_median(bisect_median(theta), n)
     K = jnp.exp(-D / h2 / 2.0)
 
-    SS = grads @ grads.T                       # s_i . s_j
-    ST = grads @ theta.T                       # s_i . x_j
+    # HIGHEST: the cross term cancels like D does (d_i + d_j - ST - ST^T);
+    # bf16-input contractions (TPU default) would swamp small KSD values.
+    _hi = jax.lax.Precision.HIGHEST
+    SS = jnp.matmul(grads, grads.T, precision=_hi)   # s_i . s_j
+    ST = jnp.matmul(grads, theta.T, precision=_hi)   # s_i . x_j
     d = jnp.sum(grads * theta, axis=1)         # s_i . x_i
     # (s_i - s_j).(x_i - x_j) = d_i + d_j - ST_ij - ST_ji
     cross = d[:, None] + d[None, :] - ST - ST.T

@@ -35,12 +35,17 @@ def _row_block_sq_dists(theta_rows, theta, rowsq_rows, rowsq):
     """Squared distances between a row block and all particles.
 
     Same algebraic form as the reference's D = r + r^T - 2 T T^T
-    (abstract_kernel.py:33-35), restricted to a block of rows.
-    """
+    (abstract_kernel.py:33-35), restricted to a block of rows. The Gram
+    matmul runs at Precision.HIGHEST — D cancels catastrophically at
+    small inter-particle distances, where bf16-input (TPU default) Gram
+    entries would destroy it (see ops/rbf.pairwise_sq_dists)."""
     return (
         rowsq_rows[:, None]
         + rowsq[None, :]
-        - 2.0 * theta_rows @ theta.T
+        - 2.0 * jnp.matmul(
+            theta_rows, theta.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
 
 
@@ -271,18 +276,36 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
     return 0.5 * ((lo_a + hi_a) * 0.5 + (lo_b + hi_b) * 0.5)
 
 
-def warm_bisect_median(theta, med_prev, max_rows=512, cold_passes=30,
-                       warm_passes=8):
-    """Bisect median warm-started from the previous step's value.
+def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
+                       bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0)):
+    """Branchless bisect median warm-started from the previous step's value
+    — the scan fast path (r1's lax.cond variant was a measured net loss;
+    this version has no data-dependent branches).
 
     SVGD particles move a small fraction of the inter-particle scale per
-    step, so the median of D drifts slowly; when the target rank provably
-    lies inside [0.8, 1.25] x med_prev (checked with one counting pass),
-    ``warm_passes`` bisections of that tight interval resolve the median
-    to ~0.45 * med_prev / 2^warm_passes (~0.2% at 8) — vs ``cold_passes``
-    over the full value range otherwise (first step, or a >25% jump).
-    The sequential count kernels dominate small-n step time, so this is
-    a ~2x step-time lever (see benchmarks/RESULTS.md).
+    step, so the median of D drifts slowly. One fused pass over the cached
+    distance block computes min, max, and the counts at 4 candidate
+    interval endpoints; a branchless select then picks the TIGHTEST
+    interval that provably brackets the median's rank:
+
+      [0.92, 1.09] x med_prev   (typical drift <2%/step)   -> then
+      [0.25, 4.00] x med_prev   (rare fast-drift steps)    -> else
+      [min(D), max(D)]          (no hint / wild jump)
+
+    followed by ceil(warm_passes/2) quad-ary rounds (2 bits per sequential
+    kernel, like _bisect_search). Per-step error is bounded by
+    width/4^rounds: ~0.17*med/4^4 = 0.004% warm, ~6% on a rare wide-bracket
+    step, range/4^rounds on a true cold start — callers that scan
+    (api.run / train_on_batches) seed the carry with a full cold
+    bisect_median of the initial particles, so the cold fallback only
+    fires after a >4x single-step median jump. The brackets are
+    re-verified against actual counts every step, so error never
+    accumulates across the scan.
+
+    The sequential count kernels dominate both small-n (dispatch latency)
+    and large-n (block bandwidth) median cost; 1+ceil(warm_passes/2)
+    kernels vs 1+ceil(passes/2) for the cold search is a ~2x median-cost
+    lever (benchmarks/RESULTS.md).
     """
     n = theta.shape[0]
     rowsq = jnp.sum(theta * theta, axis=1)
@@ -298,29 +321,41 @@ def warm_bisect_median(theta, med_prev, max_rows=512, cold_passes=30,
     cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
     k_c = jnp.asarray(k, cdt)
 
-    lo_w = 0.8 * med_prev
-    hi_w = 1.25 * med_prev
-    cnt_lo = jnp.sum(D <= lo_w, dtype=cdt)
-    cnt_hi = jnp.sum(D <= hi_w, dtype=cdt)
-    valid = (med_prev > 0) & (cnt_lo < k_c) & (cnt_hi >= k_c)
+    # Pass 1 (one read of D, XLA fuses all six reductions): global range
+    # + the four candidate endpoint counts.
+    a1 = bracket[0] * med_prev
+    b1 = bracket[1] * med_prev
+    a2 = bracket_wide[0] * med_prev
+    b2 = bracket_wide[1] * med_prev
+    lo_full = jnp.minimum(jnp.min(D), 0.0)
+    hi_full = jnp.max(D)
+    c_a1 = jnp.sum(D <= a1, dtype=cdt)
+    c_b1 = jnp.sum(D <= b1, dtype=cdt)
+    c_a2 = jnp.sum(D <= a2, dtype=cdt)
+    c_b2 = jnp.sum(D <= b2, dtype=cdt)
 
-    def count_le(mid, _cdt):
-        return jnp.sum(D <= mid, dtype=_cdt)
+    have_hint = med_prev > 0
+    valid1 = have_hint & (c_a1 < k_c) & (c_b1 >= k_c)
+    valid2 = have_hint & (c_a2 < k_c) & (c_b2 >= k_c)
+    lo0 = jnp.where(valid1, a1, jnp.where(valid2, a2, lo_full))
+    hi0 = jnp.where(valid1, b1, jnp.where(valid2, b2, hi_full))
 
-    def run(lo0, hi0, passes):
-        def body(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            go_lo = count_le(mid, cdt) >= k_c
-            return jnp.where(go_lo, lo, mid), jnp.where(go_lo, mid, hi)
-        lo, hi = jax.lax.fori_loop(0, passes, body, (lo0, hi0))
-        return 0.5 * (lo + hi)
+    rounds = (warm_passes + 1) // 2
 
-    return jax.lax.cond(
-        valid,
-        lambda: run(lo_w, hi_w, warm_passes),
-        lambda: run(jnp.minimum(jnp.min(D), 0.0), jnp.max(D), cold_passes),
-    )
+    def body(_, carry):
+        lo, hi = carry
+        w = 0.25 * (hi - lo)
+        cnts = jnp.stack([
+            jnp.sum(D <= lo + w, dtype=cdt),
+            jnp.sum(D <= lo + 2.0 * w, dtype=cdt),
+            jnp.sum(D <= lo + 3.0 * w, dtype=cdt),
+        ])
+        b = jnp.sum((cnts < k_c).astype(lo.dtype))
+        lo_new = lo + b * w
+        return lo_new, lo_new + w
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo0, hi0))
+    return 0.5 * (lo + hi)
 
 
 def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,

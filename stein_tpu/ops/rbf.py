@@ -20,16 +20,28 @@ Semantics reproduced exactly (see baselines/numpy_svgd.py for derivations):
 - phi = (K @ grads + dK) / n       (abstract_stein_sampler.py:105)
 """
 
+import jax
 import jax.numpy as jnp
 
 from .median import exact_median
 
 
 def pairwise_sq_dists(theta):
-    """D = r + r^T - 2 T T^T, the reference's exact algebraic form."""
+    """D = r + r^T - 2 T T^T, the reference's exact algebraic form.
+
+    The Gram matmul runs at Precision.HIGHEST: on TPU the default matmul
+    precision truncates inputs to bf16 (~3 decimal digits), and D is a
+    catastrophic-cancellation-prone quantity — r_i + r_j - 2<t_i, t_j>
+    approaches 0 relative to its terms exactly where SVGD operates late in
+    convergence (small inter-particle distances), so bf16 Gram entries
+    would wipe out D's significant digits. HIGHEST keeps f32 effective
+    input precision; its cost is bounded by the Gram matmul being half
+    the FLOPs of the step's main [n,n]x[n,2p] contraction (measured on
+    v5e: see benchmarks/RESULTS.md round-2 precision table)."""
     r = jnp.sum(theta * theta, axis=1, keepdims=True)
     return r + r.T - 2.0 * jnp.matmul(
-        theta, theta.T, preferred_element_type=theta.dtype
+        theta, theta.T, preferred_element_type=theta.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -45,7 +57,9 @@ def rbf_kernel_and_repulse(theta, median_fn=exact_median):
     h2 = bandwidth_sq_from_median(median_fn(D), n)
     K = jnp.exp(-D / h2 / 2.0)
     ksum = jnp.sum(K, axis=1, keepdims=True)
-    dK = (ksum * theta - K @ theta) / h2
+    dK = (ksum * theta - jnp.matmul(
+        K, theta, precision=jax.lax.Precision.HIGHEST
+    )) / h2
     return K, dK, h2
 
 
@@ -63,9 +77,13 @@ def svgd_phi(theta, grads, median_fn=exact_median):
     h2 = bandwidth_sq_from_median(med, n)
     K = jnp.exp(-D / h2 / 2.0)
     ksum = jnp.sum(K, axis=1, keepdims=True)
+    # HIGHEST here too: bf16 inputs would cost ~3 digits on phi itself.
+    # The contraction is 2/3 of the step's matmul FLOPs but the step is
+    # median/VPU-dominated, so the measured cost is small (RESULTS.md).
     both = jnp.matmul(
         K, jnp.concatenate([grads, theta], axis=1),
         preferred_element_type=theta.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     attract = both[:, :p]
     ktheta = both[:, p:]

@@ -25,6 +25,11 @@ from ..api import SVGDState
 from ..ops.median import binned_median, _row_block_sq_dists
 from ..ops.rbf import bandwidth_sq_from_median
 
+# Per-device ceiling for the [n, n] gather median='exact' requires
+# (2^28 B = 256 MB -> n <= 8192 in f32); beyond it the sharded step
+# refuses and points at the gather-free medians.
+EXACT_MEDIAN_GATHER_LIMIT_BYTES = 2 ** 28
+
 
 def _place_global(leaf, sharding):
     """Place a host-replicated array onto a (possibly multi-process) mesh.
@@ -73,6 +78,48 @@ def shard_state(state, mesh, axis_name):
     )
 
 
+def _ring_generic_pass(theta_loc, grads_loc, rsq_loc, h2, axis, kernel):
+    """Ring block circulation for a pluggable weights-kernel
+    (stein_tpu.kernels): each tile computes D, applies
+    ``kernel.weights(D, h2) -> (K, W)``, and accumulates the attractive
+    K@grads, the repulsive W@theta, and the W row-sums for the local rows.
+
+    Returns (attract, wtheta, wsum). The RBF path uses the fused
+    _ring_kernel_pass below instead (single contraction, division by h^2
+    after the matmul) so its fp order matches ops/rbf.svgd_phi exactly."""
+    n_dev = jax.lax.axis_size(axis)
+    p = theta_loc.shape[1]
+    gt_loc = jnp.concatenate([grads_loc, theta_loc], axis=1)
+
+    def body(i, carry):
+        acc_attract, acc_wtheta, acc_wsum, block_gt, block_rsq = carry
+        block_theta = block_gt[:, p:]
+        block_grads = block_gt[:, :p]
+        D = _row_block_sq_dists(theta_loc, block_theta, rsq_loc, block_rsq)
+        K, W = kernel.weights(D, h2)
+        acc_attract = acc_attract + jnp.matmul(
+            K, block_grads, preferred_element_type=theta_loc.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc_wtheta = acc_wtheta + jnp.matmul(
+            W, block_theta, preferred_element_type=theta_loc.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc_wsum = acc_wsum + jnp.sum(W, axis=1, keepdims=True)
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        block_gt = jax.lax.ppermute(block_gt, axis, perm)
+        block_rsq = jax.lax.ppermute(block_rsq, axis, perm)
+        return acc_attract, acc_wtheta, acc_wsum, block_gt, block_rsq
+
+    n_loc = theta_loc.shape[0]
+    z = jnp.zeros((n_loc, p), theta_loc.dtype)
+    acc_attract, acc_wtheta, acc_wsum, _, _ = jax.lax.fori_loop(
+        0, n_dev, body,
+        (z, z, jnp.zeros((n_loc, 1), theta_loc.dtype), gt_loc, rsq_loc),
+    )
+    return acc_attract, acc_wtheta, acc_wsum
+
+
 def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis):
     """Ring alternative to the all-gather kernel tiles: each shard's
     [n_loc, p] block of [grads | theta] circulates around the particle
@@ -91,7 +138,9 @@ def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis):
         block_theta = block_gt[:, p:]
         D = _row_block_sq_dists(theta_loc, block_theta, rsq_loc, block_rsq)
         K = jnp.exp(-D / h2 / 2.0)
-        return K @ block_gt, jnp.sum(K, axis=1, keepdims=True)
+        return jnp.matmul(
+            K, block_gt, precision=jax.lax.Precision.HIGHEST
+        ), jnp.sum(K, axis=1, keepdims=True)
 
     def body(i, carry):
         acc_both, acc_ksum, block_gt, block_rsq = carry
@@ -114,12 +163,23 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       max_phi_norm=10.0, donate=True,
                       binned_bins=4096, binned_block_rows=256,
                       comm="all_gather", remat=False, median_max_rows=512,
-                      median_passes=30):
+                      median_passes=30, kernel=None):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
     with donated state, and the input state placed onto the mesh.
+
+    ``kernel``: optional pluggable kernel from stein_tpu.kernels (the
+    ``weights(D, h2) -> (K, W)`` contract — reference surface:
+    stein/kernels/abstract_kernel.py:45-62). None / SquaredExponentialKernel
+    use the fused RBF tile whose fp order matches ops/rbf.svgd_phi exactly;
+    other kernels (e.g. InverseMultiquadricKernel) take the generic
+    two-matmul tile path.
     """
+    if kernel is not None:
+        from ..kernels import SquaredExponentialKernel
+        if isinstance(kernel, SquaredExponentialKernel):
+            kernel = None    # fused RBF path
     axis = particle_axis
     n_dev = mesh.shape[axis]
     if n_particles % n_dev != 0:
@@ -138,6 +198,24 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     if comm not in ("all_gather", "ring"):
         raise ValueError(f"unknown comm mode: {comm!r}")
+    if median == "exact":
+        # median='exact' (the SVGDSampler default) all-gathers the FULL
+        # [n, n] distance matrix onto EVERY device — pure overhead that
+        # grows as n^2 per device and silently OOMs a user scaling up with
+        # defaults. Refuse above a threshold where the gather dwarfs the
+        # useful per-device state (n=8192 -> 256 MB/device in f32).
+        itemsize = jnp.dtype(state.particles.dtype).itemsize
+        gather_bytes = n_particles * n_particles * itemsize
+        if gather_bytes > EXACT_MEDIAN_GATHER_LIMIT_BYTES:
+            n_max = int((EXACT_MEDIAN_GATHER_LIMIT_BYTES // itemsize) ** 0.5)
+            raise ValueError(
+                f"median='exact' on a mesh would all-gather the full "
+                f"[{n_particles}, {n_particles}] distance matrix onto every "
+                f"device ({gather_bytes / 2**20:.0f} MB/device). Use "
+                f"median='bisect' (exact to fp-bisection resolution, no "
+                f"gather) or median='binned' (psum'd histogram) for "
+                f"n_particles > {n_max}."
+            )
     if comm == "ring" and median != "binned":
         raise ValueError(
             f"comm='ring' supports only median='binned' (got {median!r}); "
@@ -160,12 +238,20 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             h2 = bandwidth_sq_from_median(
                 med.astype(theta_loc.dtype), n_particles
             )
-            attract, ktheta, ksum = _ring_kernel_pass(
-                theta_loc, grads_loc, rsq_loc, h2, axis
-            )
-            phi = (
-                attract + (ksum * theta_loc - ktheta) / h2
-            ) / n_particles
+            if kernel is None:
+                attract, ktheta, ksum = _ring_kernel_pass(
+                    theta_loc, grads_loc, rsq_loc, h2, axis
+                )
+                phi = (
+                    attract + (ksum * theta_loc - ktheta) / h2
+                ) / n_particles
+            else:
+                attract, wtheta, wsum = _ring_generic_pass(
+                    theta_loc, grads_loc, rsq_loc, h2, axis, kernel
+                )
+                phi = (
+                    attract + (wsum * theta_loc - wtheta)
+                ) / n_particles
         else:
             # Particle block exchange: every shard needs all particles (and
             # gradients) as kernel-matrix columns.
@@ -204,15 +290,38 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 med.astype(theta_loc.dtype), n_particles
             )
 
-            K_rows = jnp.exp(-D_rows / h2 / 2.0)         # [n_loc, n]
-            ksum = jnp.sum(K_rows, axis=1, keepdims=True)
-            both = jnp.matmul(
-                K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
-                preferred_element_type=theta_loc.dtype,
-            )
-            attract = both[:, :p]
-            ktheta = both[:, p:]
-            phi = (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
+            if kernel is None:
+                K_rows = jnp.exp(-D_rows / h2 / 2.0)     # [n_loc, n]
+                ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+                both = jnp.matmul(
+                    K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
+                    preferred_element_type=theta_loc.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                attract = both[:, :p]
+                ktheta = both[:, p:]
+                phi = (
+                    attract + (ksum * theta_loc - ktheta) / h2
+                ) / n_particles
+            else:
+                # Generic weights-kernel tile: K and W differ, so the
+                # attractive and repulsive contractions cannot share one
+                # matmul (same fp order as kernels.generic_svgd_phi).
+                K_rows, W_rows = kernel.weights(D_rows, h2)
+                wsum = jnp.sum(W_rows, axis=1, keepdims=True)
+                attract = jnp.matmul(
+                    K_rows, grads_all,
+                    preferred_element_type=theta_loc.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                wtheta = jnp.matmul(
+                    W_rows, theta_all,
+                    preferred_element_type=theta_loc.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                phi = (
+                    attract + (wsum * theta_loc - wtheta)
+                ) / n_particles
 
         # Global Frobenius-norm clip (abstract_stein_sampler.py:125).
         norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))

@@ -101,7 +101,11 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
         rsq_all = jax.lax.psum(
             jnp.sum(theta_cols * theta_cols, axis=1), model_axis
         )                                             # [n]
-        partial_gram = theta_blk @ theta_cols.T       # [n_loc, n]
+        # HIGHEST: D cancels catastrophically (see ops/rbf.pairwise_sq_dists).
+        partial_gram = jnp.matmul(
+            theta_blk, theta_cols.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                             # [n_loc, n]
         gram = jax.lax.psum(partial_gram, model_axis)
         D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
 
@@ -118,6 +122,7 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
         both = jnp.matmul(
             K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
             preferred_element_type=theta_blk.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )                                             # [n_loc, 2*p_loc]
         attract = both[:, :p_loc]
         ktheta = both[:, p_loc:]

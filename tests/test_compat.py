@@ -106,10 +106,16 @@ def test_option_guards():
     with pytest.raises(ValueError):
         SVGDSampler(kernel_impl="pallas", median="exact", **common)
     mesh = particle_mesh(jax.devices()[:1])
-    # mesh cannot honour a custom kernel or pallas: refuse, never silently
+    # 1-D meshes DO honour custom kernels (generic weights tile) since r2,
+    # but a 2-D particlesxmodel mesh cannot: refuse, never silently
     # substitute RBF.
+    import numpy as _np
+    from jax.sharding import Mesh
+    mesh2d = Mesh(_np.asarray(jax.devices()[:1]).reshape(1, 1),
+                  ("particles", "model"))
     with pytest.raises(NotImplementedError):
-        SVGDSampler(mesh=mesh, kernel=InverseMultiquadricKernel(), **common)
+        SVGDSampler(mesh=mesh2d, model_axis="model",
+                    kernel=InverseMultiquadricKernel(), **common)
     with pytest.raises(ValueError):
         SVGDSampler(mesh=mesh, kernel_impl="pallas", **common)
 

@@ -164,19 +164,27 @@ def test_warm_bisect_median():
     # warm_bisect searches the single k_lo-th order statistic (the two
     # middles of np.median differ by < the heuristic's sensitivity).
     exact = vals[k_lo - 1]
-    # Cold start (hint 0) falls back to the full search.
-    cold = float(warm_bisect_median(jnp.asarray(theta), jnp.float64(0.0),
-                                    max_rows=256, cold_passes=50))
-    assert abs(cold - exact) / exact < 1e-9
-    # Warm start from a nearby hint refines within the tight interval.
+    # Warm start from a nearby hint: tight [0.92, 1.09] bracket, error
+    # ~0.17*med/4^rounds.
     warm = float(warm_bisect_median(jnp.asarray(theta),
-                                    jnp.float64(exact * 1.05),
+                                    jnp.float64(exact * 1.02),
                                     max_rows=256, warm_passes=12))
-    assert abs(warm - exact) / exact < 2e-3
-    # A wildly wrong hint is detected and the full search runs.
+    assert abs(warm - exact) / exact < 2e-4
+    # A 2.5x-off hint falls through to the wide [0.25, 4] bracket —
+    # coarser but still bracketed (error ~3.75*med/4^rounds).
+    wide = float(warm_bisect_median(jnp.asarray(theta),
+                                    jnp.float64(exact * 2.5),
+                                    max_rows=256, warm_passes=8))
+    assert abs(wide - exact) / exact < 0.05
+    # No hint (0) or a wildly wrong one (>4x): both brackets fail their
+    # count check and the search runs branchlessly from the full range —
+    # exact given enough passes.
+    cold = float(warm_bisect_median(jnp.asarray(theta), jnp.float64(0.0),
+                                    max_rows=256, warm_passes=80))
+    assert abs(cold - exact) / exact < 1e-9
     bad = float(warm_bisect_median(jnp.asarray(theta),
                                    jnp.float64(exact * 100.0),
-                                   max_rows=256, cold_passes=50))
+                                   max_rows=256, warm_passes=80))
     assert abs(bad - exact) / exact < 1e-9
 
 

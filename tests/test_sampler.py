@@ -124,6 +124,20 @@ def test_theta_and_samples_roundtrip():
     )
 
 
+def test_theta_wrong_shape_raises():
+    """A mis-shaped theta raises ValueError (not a strippable assert)."""
+    X, y, theta0, model, batch = _linreg_setup()
+    with pytest.raises(ValueError, match="theta shape"):
+        SVGDSampler(
+            n_particles=theta0.shape[0] + 1,
+            log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(learning_rate=1e-1),
+            theta=jnp.asarray(theta0),
+            dtype=jnp.float64,
+        )
+
+
 def test_pytree_theta_init():
     """theta may be supplied as a pytree of [n, *shape] leaves."""
     X, y, theta0, model, batch = _linreg_setup()

@@ -170,6 +170,80 @@ def test_ring_with_exact_median_raises():
 
 
 @requires_8_devices
+def test_sharded_imq_matches_single_device():
+    """Custom weights-kernel (IMQ) on a 1-D particle mesh must reproduce
+    the single-device generic path (kernels.generic_svgd_phi) exactly —
+    same exact median, same fp contraction order."""
+    from stein_tpu.kernels import InverseMultiquadricKernel
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    kern = InverseMultiquadricKernel(c=1.0, beta=-0.5)
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh, kernel=kern,
+    )
+    for t in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+        np.testing.assert_allclose(
+            sharded.samples, single.samples, rtol=1e-9, atol=1e-12,
+            err_msg=f"step {t}",
+        )
+
+
+@requires_8_devices
+def test_ring_imq_matches_all_gather():
+    """IMQ through the ring generic pass (ppermute circulation) tracks the
+    all_gather IMQ path with the same binned median."""
+    from stein_tpu.kernels import InverseMultiquadricKernel
+    theta0, model, batch = _linreg(n_particles=64)
+    mesh = particle_mesh(jax.devices()[:8])
+    kern = InverseMultiquadricKernel(c=1.0, beta=-0.5)
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, mesh=mesh,
+        median="binned", kernel=kern,
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="all_gather", **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="ring", **common)
+    for _ in range(5):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-6, atol=1e-10)
+
+
+@requires_8_devices
+def test_sharded_exact_median_gather_guard():
+    """median='exact' on a mesh refuses to all-gather an n^2 distance
+    matrix beyond the per-device limit, with an actionable message."""
+    rng = np.random.default_rng(0)
+    n = 8192     # 8192^2 * 8 B (f64) = 512 MB/device > the 256 MB limit
+    model = LinearRegressionModel(3)
+    theta0 = rng.normal(size=(n, 3)) * 0.01
+    mesh = particle_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="bisect"):
+        SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+            mesh=mesh, median="exact",
+        )
+
+
+@requires_8_devices
+def test_warm_median_mesh_raises():
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="warm_median"):
+        SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+            mesh=mesh, median="bisect", warm_median=True,
+        )
+
+
+@requires_8_devices
 def test_sharded_bisect_median_matches_exact():
     """Distributed bisect median (psum'd counts): with the subsample
     covering all rows it equals the exact median to fp resolution."""
