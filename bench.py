@@ -1,15 +1,21 @@
 """Benchmark: SVGD particle-update throughput on the local accelerator vs
-the NumPy oracle baseline (BASELINE.md: primary metric is
-particle-updates/s/chip; speed target >= 10x NumPy wall-clock at n=1k).
+the NumPy oracle baseline (BASELINE.md: the primary metric is
+particle-updates/s/chip at BOTH n=1k and n=10k; speed target >= 10x NumPy
+wall-clock at n=1k).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extra": {"n10240_updates_per_s": ..., "n10240_step_ms": ...}}
 
-vs_baseline is the speedup of the TPU-native jitted step over the pure-NumPy
-oracle (which encodes the reference's exact per-step semantics, minus its
+value / vs_baseline cover the n=1000 config (value = updates/s, vs_baseline
+= speedup of the TPU-native jitted step over the pure-NumPy oracle, which
+encodes the reference's exact per-step semantics minus its
 n-session-round-trip overhead — i.e. a *favourable* version of the
-reference), measured on identical work: n=1000 particles, p=128 params,
-Bayesian linear regression gradients.
+reference — on identical work: p=128 Bayesian linear regression).
+``extra`` carries the second BASELINE config: n=10240, Pallas streaming
+kernel + bisect median (the oracle is omitted there — one O(n^2 p) host
+step at n=10240 takes minutes and the n=1k ratio already anchors the
+comparison).
 """
 
 import json
@@ -25,20 +31,17 @@ from stein_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-N_PARTICLES = 1000
 N_PARAMS = 128
 N_OBS = 1000
-WARMUP = 5
-STEPS = 50
 NP_STEPS = 5
 
 
-def make_data(seed=0):
+def make_data(n_particles, seed=0):
     rng = np.random.default_rng(seed)
     X = rng.normal(size=(N_OBS, N_PARAMS))
     w = rng.normal(size=(N_PARAMS, 1))
     y = X @ w + rng.normal(size=(N_OBS, 1)) * 0.3
-    theta0 = rng.normal(size=(N_PARTICLES, N_PARAMS)) * 0.01
+    theta0 = rng.normal(size=(n_particles, N_PARAMS)) * 0.01
     return X, y, theta0
 
 
@@ -57,24 +60,21 @@ def bench_numpy(X, y, theta0):
     return (time.perf_counter() - t0) / NP_STEPS
 
 
-def bench_jax(X, y, theta0):
-    import jax
+def bench_jax(X, y, theta0, K=200, R=4, **sampler_kwargs):
     import jax.numpy as jnp
     from stein_tpu import SVGDSampler, Adam
     from stein_tpu.models import LinearRegressionModel
 
     model = LinearRegressionModel(N_PARAMS)
-    batch = {"X": jnp.asarray(X, jnp.float32), "y": jnp.asarray(y, jnp.float32)}
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
     sampler = SVGDSampler(
-        n_particles=N_PARTICLES,
+        n_particles=theta0.shape[0],
         log_p=model.log_p,
         param_template=model.template(),
         gd=Adam(learning_rate=1e-1),
         theta=jnp.asarray(theta0, jnp.float32),
-        median="bisect",   # sort-free on-device median (sorts are the one
-                           # slow TPU primitive; see ops/median.py)
-        median_passes=16,  # bandwidth to ~1e-4 relative: ample for the
-                           # heuristic, halves the dominant sequential cost
+        **sampler_kwargs,
     )
     # One dispatch per K steps (lax.scan) — the TPU-native loop shape.
     # Timing uses a two-count slope: on a tunneled device,
@@ -83,8 +83,6 @@ def bench_jax(X, y, theta0):
     # the SAME compiled scan and take the slope — the fixed fetch cost
     # cancels, per-dispatch overhead is part of honest throughput, and
     # only one scan length compiles (remote compiles cost minutes here).
-    K, R = 200, 4
-
     sampler.run(batch, K)                       # compile once
     np.asarray(sampler.state.particles)
 
@@ -104,15 +102,38 @@ def bench_jax(X, y, theta0):
 
 
 def main():
-    X, y, theta0 = make_data()
+    # Config 1 (primary): n=1000, XLA kernel, sort-free bisect median.
+    n1 = 1000
+    X, y, theta0 = make_data(n1)
     t_np = bench_numpy(X, y, theta0)
-    t_jax = bench_jax(X, y, theta0)
-    updates_per_s = N_PARTICLES / t_jax
+    t_jax = bench_jax(
+        X, y, theta0, K=200,
+        median="bisect",   # sort-free on-device median (sorts are the one
+                           # slow TPU primitive; see ops/median.py)
+        median_passes=16,  # bandwidth to ~1e-4 relative: ample for the
+                           # heuristic, halves the dominant sequential cost
+    )
+
+    # Config 2: n=10240, Pallas streaming kernel + bisect median
+    # (BASELINE.json config #4 — "blocked kernel-matrix tiles, on-device
+    # median heuristic").
+    n2 = 10240
+    X2, y2, theta2 = make_data(n2, seed=1)
+    t_jax2 = bench_jax(
+        X2, y2, theta2, K=100,
+        kernel_impl="pallas", median="bisect", median_passes=16,
+    )
+
     print(json.dumps({
-        "metric": f"particle-updates/s/chip (n={N_PARTICLES}, p={N_PARAMS})",
-        "value": round(updates_per_s, 1),
+        "metric": f"particle-updates/s/chip (n={n1}, p={N_PARAMS})",
+        "value": round(n1 / t_jax, 1),
         "unit": "particle-updates/s",
         "vs_baseline": round(t_np / t_jax, 2),
+        "extra": {
+            "n10240_updates_per_s": round(n2 / t_jax2, 1),
+            "n10240_step_ms": round(t_jax2 * 1e3, 4),
+            "n1000_step_us": round(t_jax * 1e6, 2),
+        },
     }))
 
 

@@ -1,0 +1,244 @@
+"""Deployed-numerics fidelity: the REAL f32 TPU step vs the f64 NumPy
+oracle (VERDICT r1 item 1 — previously all golden tests forced CPU+x64 and
+nobody had measured how far the deployed TPU step deviates).
+
+What the first measurement round (2026-08-17, v5e via axon) established:
+
+- phi itself is f32-faithful: relative error ~1e-5 of the direction's
+  scale (see test_phi_direction_fidelity).
+- D = r + r^T - 2 T T^T loses digits to CANCELLATION in f32 — with
+  particle separations 1e-3 at norms ~8, the error is ~0.1 x max(D),
+  which is the inherent f32-FORMULA bound eps_f32 * ||theta||^2 / max(D)
+  (the reference's own TF1 f32 graph has the same loss). bf16-input
+  matmuls (the TPU DEFAULT precision) would instead give ~6000 x max(D)
+  — catastrophic. ops/rbf.py pins Precision.HIGHEST; the cancellation
+  test below distinguishes these regimes (measured 0.16, asserts < 1).
+- Trajectory max-error after 5 steps is NOT a clean fidelity metric:
+  Adam's first-iter update is +-lr*0.316 per coordinate with the sign of
+  phi, so an f32-rounding-induced sign flip on a near-zero phi coordinate
+  contributes a full 2*lr*0.316 = 0.063 absolute difference (measured
+  max errs 5e-3..7e-2 across paths = 0..1 flips). The trajectory tests
+  therefore assert the 99th-percentile error (tight) plus a flip-bounded
+  max (loose).
+
+Reference semantics matched: stein/kernels/squared_exponential_kernel.py:22
+and abstract_kernel.py:33-35 at the precision actually deployed (f32,
+HIGHEST matmuls).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+on_accelerator = jax.devices()[0].platform != "cpu"
+pytestmark = pytest.mark.skipif(
+    not on_accelerator, reason="needs a real accelerator (TPU)"
+)
+
+# One f32-induced Adam sign flip on a near-zero phi coordinate moves that
+# coordinate by 2 * lr * (1/(1-b1)) / sqrt(1/(1-b2)) = 2 * 0.1 * 0.316
+# per step; allow up to 2 flips' worth across 5 steps.
+FLIP_BOUND = 2 * 2 * 0.1 * 0.3163
+
+
+def _linreg_problem(seed=0, n_particles=64, n_feats=16, n_obs=128):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_obs, n_feats))
+    w_true = rng.normal(size=(n_feats, 1))
+    y = X @ w_true + rng.normal(size=(n_obs, 1)) * 0.3
+    theta0 = rng.normal(size=(n_particles, n_feats)) * 0.01
+    return X, y, theta0
+
+
+def _numpy_grads(X, y, theta):
+    """d/dw [ -0.5||Xw-y||^2 - 0.5||w||^2 ] rows, f64."""
+    return (y.T - theta @ X.T) @ X - theta
+
+
+def _oracle_trajectory(X, y, theta0, k_steps, lr=1e-1):
+    from baselines.numpy_svgd import NumpySVGD, NumpyAdam
+
+    def grad_log_p(theta_row, batch):
+        w = theta_row.reshape(-1, 1)
+        return (X.T @ (y - X @ w) - w).ravel()
+
+    oracle = NumpySVGD(grad_log_p, theta0, NumpyAdam(learning_rate=lr))
+    for _ in range(k_steps):
+        oracle.train_on_batch(None)
+    return oracle.samples
+
+
+def _tpu_trajectory(X, y, theta0, k_steps, lr=1e-1, **sampler_kwargs):
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+
+    model = LinearRegressionModel(X.shape[1])
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), gd=Adam(learning_rate=lr),
+        theta=jnp.asarray(theta0, jnp.float32), **sampler_kwargs,
+    )
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    sampler.run(batch, k_steps)
+    return sampler.samples
+
+
+def _assert_trajectory_close(got, ref, label):
+    err = np.abs(got - ref)
+    p99 = np.quantile(err, 0.99)
+    frac_bad = np.mean(err > 1e-3)
+    print(f"[fidelity] {label}: max {err.max():.3e} p99 {p99:.3e} "
+          f"frac>{1e-3:g} {frac_bad:.4f}")
+    assert p99 < 5e-4, (
+        f"{label}: p99 err {p99:.3e} — bulk trajectory deviates beyond "
+        "f32 rounding"
+    )
+    assert frac_bad < 0.01, (
+        f"{label}: {frac_bad:.1%} of coordinates deviate > 1e-3 — more "
+        "than isolated Adam sign flips"
+    )
+    assert err.max() < FLIP_BOUND, (
+        f"{label}: max err {err.max():.3e} exceeds the {FLIP_BOUND:.3f} "
+        "bound of 2 Adam sign-flip events"
+    )
+
+
+def test_phi_direction_fidelity():
+    """The deployed f32 phi (grads + median + kernel + direction, no
+    optimizer amplification) must match the f64 oracle to f32 rounding."""
+    from stein_tpu.api import make_phi_fn
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.utils.ravel import template_unraveler
+    from baselines.numpy_svgd import compute_phi
+
+    X, y, theta0 = _linreg_problem()
+    # A realistic mid-run state: 3 oracle steps in.
+    theta = _oracle_trajectory(X, y, theta0, 3)
+
+    model = LinearRegressionModel(X.shape[1])
+    _, unravel = template_unraveler(model.template())
+    phi_fn = make_phi_fn(theta.shape[0], median="exact", kernel_impl="xla")
+
+    def tpu_phi(th, Xj, yj):
+        grads = jax.vmap(
+            jax.grad(lambda row, b: model.log_p(unravel(row), b)),
+            in_axes=(0, None),
+        )(th, {"X": Xj, "y": yj})
+        phi, _ = phi_fn(th, grads)
+        return phi
+
+    got = np.asarray(jax.jit(tpu_phi)(
+        jnp.asarray(theta, jnp.float32),
+        jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32),
+    ))
+    grads64 = _numpy_grads(X, y, theta)
+    ref, _ = compute_phi(theta, grads64)
+    scale = np.abs(ref).max()
+    rel = np.abs(got - ref).max() / scale
+    print(f"[fidelity] phi direction rel err: {rel:.3e}")
+    assert rel < 1e-4, f"phi deviates by {rel:.2e} of its scale"
+    # Clip-norm agreement (global norm, abstract_stein_sampler.py:125).
+    norm_got = np.linalg.norm(got)
+    norm_ref = np.linalg.norm(ref)
+    assert abs(norm_got - norm_ref) / norm_ref < 1e-5
+
+
+def test_f32_xla_step_matches_f64_oracle():
+    """5 deployed f32 XLA steps (exact median) vs the f64 oracle."""
+    X, y, theta0 = _linreg_problem()
+    ref = _oracle_trajectory(X, y, theta0, 5)
+    got = _tpu_trajectory(X, y, theta0, 5, median="exact",
+                          kernel_impl="xla")
+    _assert_trajectory_close(got, ref, "xla exact-median")
+
+
+def test_f32_bisect_step_matches_f64_oracle():
+    """The sort-free bisect median path (the bench configuration)."""
+    X, y, theta0 = _linreg_problem(seed=1)
+    ref = _oracle_trajectory(X, y, theta0, 5)
+    got = _tpu_trajectory(X, y, theta0, 5, median="bisect",
+                          median_passes=40, kernel_impl="xla")
+    _assert_trajectory_close(got, ref, "xla bisect")
+
+
+def test_f32_pallas_step_matches_f64_oracle():
+    """The Pallas streaming-tile path (the large-n configuration)."""
+    X, y, theta0 = _linreg_problem(seed=2, n_particles=256, n_feats=128)
+    ref = _oracle_trajectory(X, y, theta0, 5)
+    got = _tpu_trajectory(X, y, theta0, 5, median="bisect",
+                          median_passes=40, kernel_impl="pallas",
+                          pallas_block=128)
+    _assert_trajectory_close(got, ref, "pallas")
+
+
+def _numpy_sq_dists(theta):
+    r = np.sum(theta * theta, axis=1, keepdims=True)
+    return r + r.T - 2.0 * theta @ theta.T
+
+
+def test_gram_cancellation_precision():
+    """pairwise_sq_dists must be in the f32-formula regime, not the bf16
+    one: particles separated by ~1e-3 with norms ~8 make max(D) ~ 1e-4
+    while the Gram terms are ~64, so
+
+      f32 formula (Precision.HIGHEST):  err ~ eps_f32 * 64 / 1e-4 ~ 0.1 x
+      bf16 inputs (TPU DEFAULT):        err ~ 0.004 * 64 / 1e-4 ~ 6000 x
+
+    of max(D). Measured 0.16 on v5e with HIGHEST; assert < 1 (three
+    orders below the bf16 failure) and within 4x of the host-f32 formula
+    error (same dtype, different accumulation order)."""
+    from stein_tpu.ops.rbf import pairwise_sq_dists
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(1, 64))
+    theta = base + rng.normal(size=(128, 64)) * 1e-3
+    D_ref = _numpy_sq_dists(theta)              # f64
+    scale = D_ref.max()
+
+    D_tpu = np.asarray(
+        jax.jit(pairwise_sq_dists)(jnp.asarray(theta, jnp.float32))
+    )
+    err_tpu = np.abs(D_tpu - D_ref).max() / scale
+
+    t32 = theta.astype(np.float32)
+    r32 = np.sum(t32 * t32, axis=1, keepdims=True, dtype=np.float32)
+    D_host32 = r32 + r32.T - np.float32(2.0) * (t32 @ t32.T)
+    err_host = np.abs(D_host32 - D_ref).max() / scale
+
+    print(f"[fidelity] gram cancellation: tpu {err_tpu:.3e} "
+          f"host-f32 {err_host:.3e} (bf16 regime would be ~6e3)")
+    assert err_tpu < 1.0, (
+        f"D error {err_tpu:.2e} x max(D) — Gram matmul is NOT running at "
+        "f32-effective precision (bf16 regime)"
+    )
+    assert err_tpu < 4.0 * err_host + 1e-6, (
+        f"TPU D error {err_tpu:.2e} far exceeds the host f32 formula "
+        f"error {err_host:.2e}"
+    )
+
+
+def test_ksd_precision():
+    """KSD's cross terms cancel like D does; the deployed f32 KSD must
+    track the f64 value (measured: agreement to 6 significant digits)."""
+    from stein_tpu.ops.diagnostics import ksd_rbf
+
+    rng = np.random.default_rng(4)
+    theta = rng.normal(size=(128, 32)) * 0.1
+    grads = -theta * 25.0      # score of N(0, 0.2^2 I)
+    got = float(jax.jit(ksd_rbf)(
+        jnp.asarray(theta, jnp.float32), jnp.asarray(grads, jnp.float32)
+    ))
+    D = _numpy_sq_dists(theta)
+    n, p = theta.shape
+    h2 = np.median(D) / np.log(n)
+    K = np.exp(-D / h2 / 2.0)
+    SS = grads @ grads.T
+    ST = grads @ theta.T
+    d = np.sum(grads * theta, axis=1)
+    cross = d[:, None] + d[None, :] - ST - ST.T
+    ref = float(np.mean(K * (SS + cross / h2 + p / h2 - D / (h2 * h2))))
+    print(f"[fidelity] ksd f32 {got:.6g} vs f64 {ref:.6g}")
+    assert abs(got - ref) < 1e-3 * max(1.0, abs(ref)), (got, ref)
