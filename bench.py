@@ -60,7 +60,7 @@ def bench_numpy(X, y, theta0):
     return (time.perf_counter() - t0) / NP_STEPS
 
 
-def bench_jax(X, y, theta0, K=200, R=4, **sampler_kwargs):
+def bench_jax(X, y, theta0, K=200, R=4, reps=3, **sampler_kwargs):
     import jax.numpy as jnp
     from stein_tpu import SVGDSampler, Adam
     from stein_tpu.models import LinearRegressionModel
@@ -86,7 +86,7 @@ def bench_jax(X, y, theta0, K=200, R=4, **sampler_kwargs):
     sampler.run(batch, K)                       # compile once
     np.asarray(sampler.state.particles)
 
-    def timed(n_dispatches, reps=3):
+    def timed(n_dispatches, reps=reps):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -106,12 +106,20 @@ def main():
     n1 = 1000
     X, y, theta0 = make_data(n1)
     t_np = bench_numpy(X, y, theta0)
+    # R=10/reps=5: at ~60 us/step the slope numerator (R-1)*K*step is
+    # only ~0.1 s — it must dominate the tunnel's 30-110 ms fetch-RTT
+    # variance or the result bounces +-25% run to run.
     t_jax = bench_jax(
-        X, y, theta0, K=200,
+        X, y, theta0, K=200, R=10, reps=5,
         median="bisect",   # sort-free on-device median (sorts are the one
                            # slow TPU primitive; see ops/median.py)
         median_passes=16,  # bandwidth to ~1e-4 relative: ample for the
                            # heuristic, halves the dominant sequential cost
+        warm_median=True,  # scan-carried warm bisect: ~0.07% bandwidth
+                           # error bound, re-verified every step
+                           # (ops/median.warm_bisect_median); the
+                           # sequential count kernels dominate at this n
+        warm_passes=8,
     )
 
     # Config 2: n=10240, Pallas streaming kernel + bisect median
@@ -120,8 +128,12 @@ def main():
     n2 = 10240
     X2, y2, theta2 = make_data(n2, seed=1)
     t_jax2 = bench_jax(
-        X2, y2, theta2, K=100,
+        X2, y2, theta2, K=100, R=6, reps=4,
         kernel_impl="pallas", median="bisect", median_passes=16,
+        warm_median=True, warm_passes=8,
+        median_max_rows=128,  # row subsample: <1% median error at
+                              # n=10240 (statistically invisible for the
+                              # heuristic), 4x less count-pass bandwidth
     )
 
     print(json.dumps({

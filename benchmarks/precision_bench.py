@@ -7,14 +7,13 @@ timings on this tunneled chip measure enqueue latency):
    HIGH (bf16_3x), HIGHEST (bf16_6x / f32-effective), and explicit
    bfloat16 inputs -> honest TF/s ceilings for each precision tier.
 2. The fused XLA SVGD direction (gram + exp + contraction, no median) at
-   DEFAULT vs HIGHEST -> the real cost of deploying HIGHEST in
-   ops/rbf.svgd_phi.
+   DEFAULT / HIGH / HIGHEST -> the real cost of each deployable tier
+   (ops/rbf.py ships HIGHEST Gram + HIGH contraction).
 
 Prints one JSON line per measurement. Run on the TPU machine:
     python benchmarks/precision_bench.py
 """
 
-import functools
 import json
 import sys
 import time
@@ -67,7 +66,6 @@ def bench_pure_matmul():
     # NB: A must be a jit ARGUMENT — a closure-captured 400 MB constant
     # gets baked into the remote-compile request and the axon tunnel
     # rejects it (HTTP 413).
-    results = {}
     for name, kwargs in [
         ("default", dict(precision=jax.lax.Precision.DEFAULT)),
         ("high", dict(precision=jax.lax.Precision.HIGH)),
@@ -84,7 +82,6 @@ def bench_pure_matmul():
             return c
         run = lambda B, f=run_ab: f(A, B)
         dt = slope_time(run, B0, K)
-        results[name] = dt
         print(json.dumps({
             "bench": "pure_matmul", "precision": name,
             "ms": round(dt * 1e3, 4),
@@ -110,7 +107,6 @@ def bench_pure_matmul():
         "ms": round(dt * 1e3, 4),
         "tflops": round(flops / dt / 1e12, 1),
     }), flush=True)
-    return results
 
 
 def bench_phi_xla():

@@ -76,9 +76,11 @@ def main():
         ])
         return {"X": X_j[idx], "y": y_j[idx]}
 
-    # resume=True: a restarted run appends to the CSV instead of
-    # truncating the pre-crash history.
-    metrics = MetricsLogger(log_every=0, csv_path=args.csv, resume=True)
+    # Append to the CSV only when this invocation actually resumes from a
+    # checkpoint (a fresh run with a stale CSV at the same path must
+    # truncate, not interleave two histories).
+    resuming = os.path.exists(args.ckpt)
+    metrics = MetricsLogger(log_every=0, csv_path=args.csv, resume=resuming)
     test_batch = {"X": jnp.asarray(X_test, jnp.float32),
                   "y": jnp.asarray(y_test, jnp.float32)}
 

@@ -68,7 +68,7 @@ class InverseMultiquadricKernel:
         K, W = self.weights(D, h2)
         wsum = jnp.sum(W, axis=1, keepdims=True)
         dK = wsum * theta - jnp.matmul(
-            W, theta, precision=jax.lax.Precision.HIGHEST
+            W, theta, precision=jax.lax.Precision.HIGH
         )
         return K, dK
 
@@ -86,11 +86,11 @@ def generic_svgd_phi(kernel, theta, grads, median_fn=exact_median):
     h2 = rbf.bandwidth_sq_from_median(med, n)
     K, W = kernel.weights(D, h2)
     attract = jnp.matmul(K, grads, preferred_element_type=theta.dtype,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=jax.lax.Precision.HIGH)
     wsum = jnp.sum(W, axis=1, keepdims=True)
     repulse = wsum * theta - jnp.matmul(
         W, theta, preferred_element_type=theta.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     phi = (attract + repulse) / n
     return phi, {"h2": h2, "median": med}

@@ -11,9 +11,14 @@ rescaled by n_train/n_batch, and the whole log-posterior divided by n_train.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from .distributions import normal_log_prob, gamma_log_prob
+
+# HIGH-precision data matmuls: f32-faithful gradients on TPU (see
+# models/linear_regression.py for the full rationale).
+_HI = jax.lax.Precision.HIGH
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,8 +41,11 @@ class BayesianNNModel:
         }
 
     def predict(self, params, batch):
-        h = jnp.maximum(batch["X"] @ params["w_1"] + params["b_1"], 0.0)
-        return h @ params["w_2"] + params["b_2"]
+        h = jnp.maximum(
+            jnp.matmul(batch["X"], params["w_1"], precision=_HI)
+            + params["b_1"], 0.0,
+        )
+        return jnp.matmul(h, params["w_2"], precision=_HI) + params["b_2"]
 
     def log_p(self, params, batch):
         lam = jnp.exp(params["log_lambda"])

@@ -11,9 +11,14 @@ reparameterisation — we reproduce that choice exactly.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from .distributions import normal_log_prob, gamma_log_prob
+
+# HIGH-precision data matmuls: f32-faithful gradients on TPU (see
+# models/linear_regression.py for the full rationale).
+_HI = jax.lax.Precision.HIGH
 
 
 def sigmoid_cross_entropy_with_logits(labels, logits):
@@ -39,12 +44,12 @@ class LogisticRegressionModel:
         }
 
     def logits(self, params, batch):
-        return batch["X"] @ params["w"]
+        return jnp.matmul(batch["X"], params["w"], precision=_HI)
 
     def log_p(self, params, batch):
         w = params["w"]
         alpha = jnp.exp(params["log_alpha"])
-        logits = batch["X"] @ w
+        logits = jnp.matmul(batch["X"], w, precision=_HI)
         log_l = -jnp.sum(
             sigmoid_cross_entropy_with_logits(batch["y"], logits)
         )

@@ -58,7 +58,7 @@ def rbf_kernel_and_repulse(theta, median_fn=exact_median):
     K = jnp.exp(-D / h2 / 2.0)
     ksum = jnp.sum(K, axis=1, keepdims=True)
     dK = (ksum * theta - jnp.matmul(
-        K, theta, precision=jax.lax.Precision.HIGHEST
+        K, theta, precision=jax.lax.Precision.HIGH
     )) / h2
     return K, dK, h2
 
@@ -77,13 +77,15 @@ def svgd_phi(theta, grads, median_fn=exact_median):
     h2 = bandwidth_sq_from_median(med, n)
     K = jnp.exp(-D / h2 / 2.0)
     ksum = jnp.sum(K, axis=1, keepdims=True)
-    # HIGHEST here too: bf16 inputs would cost ~3 digits on phi itself.
-    # The contraction is 2/3 of the step's matmul FLOPs but the step is
-    # median/VPU-dominated, so the measured cost is small (RESULTS.md).
+    # HIGH (bf16_3x, ~f32-accurate products at 3x the default-pass count)
+    # for the contraction: K is positive and nothing cancels, so it needs
+    # f32-comparable accuracy, not the 6-pass HIGHEST that the
+    # cancellation-prone Gram requires — HIGHEST here measured 5.6x the
+    # whole phi time at n=10240 (benchmarks/RESULTS.md precision table).
     both = jnp.matmul(
         K, jnp.concatenate([grads, theta], axis=1),
         preferred_element_type=theta.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )
     attract = both[:, :p]
     ktheta = both[:, p:]

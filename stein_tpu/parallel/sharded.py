@@ -99,11 +99,11 @@ def _ring_generic_pass(theta_loc, grads_loc, rsq_loc, h2, axis, kernel):
         K, W = kernel.weights(D, h2)
         acc_attract = acc_attract + jnp.matmul(
             K, block_grads, preferred_element_type=theta_loc.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         acc_wtheta = acc_wtheta + jnp.matmul(
             W, block_theta, preferred_element_type=theta_loc.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         acc_wsum = acc_wsum + jnp.sum(W, axis=1, keepdims=True)
         perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
@@ -139,7 +139,7 @@ def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis):
         D = _row_block_sq_dists(theta_loc, block_theta, rsq_loc, block_rsq)
         K = jnp.exp(-D / h2 / 2.0)
         return jnp.matmul(
-            K, block_gt, precision=jax.lax.Precision.HIGHEST
+            K, block_gt, precision=jax.lax.Precision.HIGH
         ), jnp.sum(K, axis=1, keepdims=True)
 
     def body(i, carry):
@@ -296,7 +296,7 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 both = jnp.matmul(
                     K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
                     preferred_element_type=theta_loc.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=jax.lax.Precision.HIGH,
                 )
                 attract = both[:, :p]
                 ktheta = both[:, p:]
@@ -312,12 +312,12 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 attract = jnp.matmul(
                     K_rows, grads_all,
                     preferred_element_type=theta_loc.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=jax.lax.Precision.HIGH,
                 )
                 wtheta = jnp.matmul(
                     W_rows, theta_all,
                     preferred_element_type=theta_loc.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=jax.lax.Precision.HIGH,
                 )
                 phi = (
                     attract + (wsum * theta_loc - wtheta)

@@ -122,7 +122,7 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
         both = jnp.matmul(
             K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
             preferred_element_type=theta_blk.dtype,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )                                             # [n_loc, 2*p_loc]
         attract = both[:, :p_loc]
         ktheta = both[:, p_loc:]

@@ -59,6 +59,19 @@ class MetricsLogger:
                     and os.path.exists(self.csv_path)
                     and os.path.getsize(self.csv_path) > 0
                 )
+                if append:
+                    # DictWriter appends values positionally: a stale file
+                    # with different columns would silently misalign every
+                    # appended row — refuse instead.
+                    with open(self.csv_path, newline="") as f:
+                        header = f.readline().strip().split(",")
+                    if header != list(row):
+                        raise ValueError(
+                            f"cannot resume metrics CSV {self.csv_path}: "
+                            f"existing header {header} != current fields "
+                            f"{list(row)} (delete the file or use a new "
+                            "path)"
+                        )
                 self._csv_file = open(
                     self.csv_path, "a" if append else "w", newline=""
                 )

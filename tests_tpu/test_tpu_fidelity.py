@@ -18,12 +18,15 @@ What the first measurement round (2026-08-17, v5e via axon) established:
   phi, so an f32-rounding-induced sign flip on a near-zero phi coordinate
   contributes a full 2*lr*0.316 = 0.063 absolute difference (measured
   max errs 5e-3..7e-2 across paths = 0..1 flips). The trajectory tests
-  therefore assert the 99th-percentile error (tight) plus a flip-bounded
-  max (loose).
+  therefore compute the oracle's sign-ambiguity mask (coordinates whose
+  clipped phi came within 3e-4 of zero relative to the step's phi scale)
+  and assert: unambiguous coordinates match to f32 rounding (<1e-3), and
+  even ambiguous ones stay within a 2-flip bound.
 
 Reference semantics matched: stein/kernels/squared_exponential_kernel.py:22
-and abstract_kernel.py:33-35 at the precision actually deployed (f32,
-HIGHEST matmuls).
+and abstract_kernel.py:33-35 at the precision actually deployed (f32;
+HIGHEST Gram matmuls where D's cancellation demands true f32 products,
+HIGH — bf16_3x, ~f32-accurate — contractions and model matmuls).
 """
 
 import numpy as np
@@ -57,17 +60,27 @@ def _numpy_grads(X, y, theta):
     return (y.T - theta @ X.T) @ X - theta
 
 
-def _oracle_trajectory(X, y, theta0, k_steps, lr=1e-1):
-    from baselines.numpy_svgd import NumpySVGD, NumpyAdam
+def _oracle_trajectory(X, y, theta0, k_steps, lr=1e-1, amb_tol=3e-4):
+    """f64 oracle trajectory + the sign-ambiguity mask: a coordinate is
+    ambiguous if at any step its clipped phi was within ``amb_tol`` of
+    zero relative to that step's phi scale — there the f32 engine's
+    rounding can legitimately flip Adam's +-lr*0.316 update sign, which
+    is an artefact of elementwise comparison, not an engine error.
+    amb_tol is ~30x the measured phi noise of the path under test:
+    3e-4 for the XLA engine (noise ~1e-5), 3e-3 for Pallas (noise ~1e-4
+    — tile-blocked reduction order + separate f32 accumulators)."""
+    from baselines.numpy_svgd import compute_phi, clip_phi, NumpyAdam
 
-    def grad_log_p(theta_row, batch):
-        w = theta_row.reshape(-1, 1)
-        return (X.T @ (y - X @ w) - w).ravel()
-
-    oracle = NumpySVGD(grad_log_p, theta0, NumpyAdam(learning_rate=lr))
+    theta = np.array(theta0, dtype=np.float64)
+    gd = NumpyAdam(learning_rate=lr)
+    ambiguous = np.zeros(theta.shape, dtype=bool)
     for _ in range(k_steps):
-        oracle.train_on_batch(None)
-    return oracle.samples
+        grads = _numpy_grads(X, y, theta)
+        phi, _ = compute_phi(theta, grads)
+        phi = clip_phi(phi)
+        ambiguous |= np.abs(phi) < amb_tol * np.abs(phi).max()
+        theta = theta + gd.update(phi)
+    return theta, ambiguous
 
 
 def _tpu_trajectory(X, y, theta0, k_steps, lr=1e-1, **sampler_kwargs):
@@ -86,19 +99,23 @@ def _tpu_trajectory(X, y, theta0, k_steps, lr=1e-1, **sampler_kwargs):
     return sampler.samples
 
 
-def _assert_trajectory_close(got, ref, label):
+def _assert_trajectory_close(got, ref, ambiguous, label, bound=1e-3):
+    """Unambiguous coordinates must match to the path's rounding noise
+    (``bound`` ~ 30x the measured per-step phi noise, Adam-amplified over
+    5 steps: 1e-3 for the XLA engine at ~1e-5 phi noise, 5e-3 for Pallas
+    at ~1e-4); larger errors may appear ONLY at oracle-identified
+    sign-ambiguous coordinates and are bounded by a couple of flipped
+    Adam updates."""
     err = np.abs(got - ref)
-    p99 = np.quantile(err, 0.99)
-    frac_bad = np.mean(err > 1e-3)
-    print(f"[fidelity] {label}: max {err.max():.3e} p99 {p99:.3e} "
-          f"frac>{1e-3:g} {frac_bad:.4f}")
-    assert p99 < 5e-4, (
-        f"{label}: p99 err {p99:.3e} — bulk trajectory deviates beyond "
-        "f32 rounding"
-    )
-    assert frac_bad < 0.01, (
-        f"{label}: {frac_bad:.1%} of coordinates deviate > 1e-3 — more "
-        "than isolated Adam sign flips"
+    err_clean = err[~ambiguous]
+    bad_clean = err_clean.max() if err_clean.size else 0.0
+    print(f"[fidelity] {label}: max {err.max():.3e} "
+          f"max-unambiguous {bad_clean:.3e} "
+          f"ambiguous-frac {ambiguous.mean():.4f}")
+    assert bad_clean < bound, (
+        f"{label}: unambiguous-coordinate error {bad_clean:.3e} > "
+        f"{bound:g} — the deployed f32 step deviates beyond rounding "
+        "where Adam's sign is well-determined"
     )
     assert err.max() < FLIP_BOUND, (
         f"{label}: max err {err.max():.3e} exceeds the {FLIP_BOUND:.3f} "
@@ -106,17 +123,43 @@ def _assert_trajectory_close(got, ref, label):
     )
 
 
+def test_phi_engine_fidelity():
+    """The f32 SVGD ENGINE (median + kernel + direction), isolated from
+    gradient computation: identical f64-computed grads are fed to the
+    device phi and the oracle phi. This is the framework's core numeric
+    guarantee — measured ~1e-5 of the direction's scale."""
+    from stein_tpu.api import make_phi_fn
+    from baselines.numpy_svgd import compute_phi
+
+    X, y, theta0 = _linreg_problem()
+    theta, _ = _oracle_trajectory(X, y, theta0, 3)   # realistic mid-run
+    grads64 = _numpy_grads(X, y, theta)
+
+    phi_fn = make_phi_fn(theta.shape[0], median="exact", kernel_impl="xla")
+    got = np.asarray(jax.jit(lambda t, g: phi_fn(t, g)[0])(
+        jnp.asarray(theta, jnp.float32), jnp.asarray(grads64, jnp.float32)
+    ))
+    ref, _ = compute_phi(theta, grads64)
+    scale = np.abs(ref).max()
+    rel = np.abs(got - ref).max() / scale
+    print(f"[fidelity] phi ENGINE rel err: {rel:.3e}")
+    assert rel < 1e-4, f"engine phi deviates by {rel:.2e} of its scale"
+    # Clip-norm agreement (global norm, abstract_stein_sampler.py:125).
+    assert abs(np.linalg.norm(got) - np.linalg.norm(ref)) \
+        / np.linalg.norm(ref) < 1e-5
+
+
 def test_phi_direction_fidelity():
-    """The deployed f32 phi (grads + median + kernel + direction, no
-    optimizer amplification) must match the f64 oracle to f32 rounding."""
+    """End-to-end f32 phi INCLUDING on-device model gradients (the
+    shipped models pin their data matmuls to Precision.HIGH; with default
+    precision the bf16 gradient error pushed this to 6e-4)."""
     from stein_tpu.api import make_phi_fn
     from stein_tpu.models import LinearRegressionModel
     from stein_tpu.utils.ravel import template_unraveler
     from baselines.numpy_svgd import compute_phi
 
     X, y, theta0 = _linreg_problem()
-    # A realistic mid-run state: 3 oracle steps in.
-    theta = _oracle_trajectory(X, y, theta0, 3)
+    theta, _ = _oracle_trajectory(X, y, theta0, 3)
 
     model = LinearRegressionModel(X.shape[1])
     _, unravel = template_unraveler(model.template())
@@ -138,40 +181,36 @@ def test_phi_direction_fidelity():
     ref, _ = compute_phi(theta, grads64)
     scale = np.abs(ref).max()
     rel = np.abs(got - ref).max() / scale
-    print(f"[fidelity] phi direction rel err: {rel:.3e}")
+    print(f"[fidelity] phi end-to-end rel err: {rel:.3e}")
     assert rel < 1e-4, f"phi deviates by {rel:.2e} of its scale"
-    # Clip-norm agreement (global norm, abstract_stein_sampler.py:125).
-    norm_got = np.linalg.norm(got)
-    norm_ref = np.linalg.norm(ref)
-    assert abs(norm_got - norm_ref) / norm_ref < 1e-5
 
 
 def test_f32_xla_step_matches_f64_oracle():
     """5 deployed f32 XLA steps (exact median) vs the f64 oracle."""
     X, y, theta0 = _linreg_problem()
-    ref = _oracle_trajectory(X, y, theta0, 5)
+    ref, amb = _oracle_trajectory(X, y, theta0, 5)
     got = _tpu_trajectory(X, y, theta0, 5, median="exact",
                           kernel_impl="xla")
-    _assert_trajectory_close(got, ref, "xla exact-median")
+    _assert_trajectory_close(got, ref, amb, "xla exact-median")
 
 
 def test_f32_bisect_step_matches_f64_oracle():
     """The sort-free bisect median path (the bench configuration)."""
     X, y, theta0 = _linreg_problem(seed=1)
-    ref = _oracle_trajectory(X, y, theta0, 5)
+    ref, amb = _oracle_trajectory(X, y, theta0, 5)
     got = _tpu_trajectory(X, y, theta0, 5, median="bisect",
                           median_passes=40, kernel_impl="xla")
-    _assert_trajectory_close(got, ref, "xla bisect")
+    _assert_trajectory_close(got, ref, amb, "xla bisect")
 
 
 def test_f32_pallas_step_matches_f64_oracle():
     """The Pallas streaming-tile path (the large-n configuration)."""
     X, y, theta0 = _linreg_problem(seed=2, n_particles=256, n_feats=128)
-    ref = _oracle_trajectory(X, y, theta0, 5)
+    ref, amb = _oracle_trajectory(X, y, theta0, 5, amb_tol=3e-3)
     got = _tpu_trajectory(X, y, theta0, 5, median="bisect",
                           median_passes=40, kernel_impl="pallas",
                           pallas_block=128)
-    _assert_trajectory_close(got, ref, "pallas")
+    _assert_trajectory_close(got, ref, amb, "pallas", bound=5e-3)
 
 
 def _numpy_sq_dists(theta):
