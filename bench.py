@@ -131,6 +131,7 @@ def main():
         X2, y2, theta2, K=100, R=6, reps=4,
         kernel_impl="pallas", median="bisect", median_passes=16,
         warm_median=True, warm_passes=8,
+        pallas_block=1024,    # tile sweep: 1024 beats 512 by ~8% at this n
         median_max_rows=128,  # row subsample: <1% median error at
                               # n=10240 (statistically invisible for the
                               # heuristic), 4x less count-pass bandwidth

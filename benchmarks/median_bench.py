@@ -39,6 +39,27 @@ CONFIGS = [
     ("n10k_cold16_mr128", 10240, dict(K=100, kernel_impl="pallas",
                                       median="bisect", median_passes=16,
                                       median_max_rows=128)),
+    # Round-2 sweep: smaller subsample / fewer warm passes, and Pallas
+    # tile-size variants (each block size is a fresh Mosaic compile).
+    ("n10k_warm6_mr64", 10240, dict(K=100, R=6, reps=4,
+                                    kernel_impl="pallas", median="bisect",
+                                    median_passes=16, warm_median=True,
+                                    warm_passes=6, median_max_rows=64)),
+    ("n10k_warm8_mr128_blk256", 10240, dict(K=100, R=6, reps=4,
+                                            kernel_impl="pallas",
+                                            median="bisect",
+                                            median_passes=16,
+                                            warm_median=True, warm_passes=8,
+                                            median_max_rows=128,
+                                            pallas_block=256)),
+    ("n10k_warm8_mr128_blk1024", 10240, dict(K=100, R=6, reps=4,
+                                             kernel_impl="pallas",
+                                             median="bisect",
+                                             median_passes=16,
+                                             warm_median=True,
+                                             warm_passes=8,
+                                             median_max_rows=128,
+                                             pallas_block=1024)),
 ]
 
 

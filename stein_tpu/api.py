@@ -74,6 +74,15 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     else:
         raise ValueError(f"unknown median mode: {median!r}")
 
+    # The XLA paths materialise D for the kernel anyway; bisect counts
+    # run directly on (a strided row subsample of) that D instead of
+    # recomputing a distance block — saving a HIGHEST-precision Gram
+    # matmul per step (ops/median.bisect_median_on_D).
+    from .ops.median import bisect_median_on_D
+    bisect_on_D = lambda D: bisect_median_on_D(
+        D, max_rows=median_max_rows, passes=median_passes
+    )
+
     if kernel is not None:
         # Pluggable non-RBF kernel (stein_tpu.kernels): generic two-matrix
         # XLA path.
@@ -83,6 +92,10 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
                 raise ValueError(
                     "kernel_impl='pallas' supports only the RBF kernel; "
                     "use kernel_impl='xla' for custom kernels"
+                )
+            if median == "bisect":
+                return lambda theta, grads: generic_svgd_phi(
+                    kernel, theta, grads, median_fn=bisect_on_D
                 )
 
             def phi_fn(theta, grads):
@@ -98,6 +111,10 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
             # computation).
             return lambda theta, grads: rbf.svgd_phi(
                 theta, grads, median_fn=exact_median
+            )
+        if median == "bisect":
+            return lambda theta, grads: rbf.svgd_phi(
+                theta, grads, median_fn=bisect_on_D
             )
 
         def phi_fn(theta, grads):
@@ -167,8 +184,16 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
         return phi_fn
 
     def phi_fn(theta, grads, med_prev):
-        med = compute_med(theta, med_prev)
-        return rbf.svgd_phi(theta, grads, median_fn=lambda D: med)
+        # XLA path: run the warm search on the D the kernel materialises
+        # anyway (ops/median.warm_bisect_median_on_D).
+        from .ops.median import warm_bisect_median_on_D
+        return rbf.svgd_phi(
+            theta, grads,
+            median_fn=lambda D: warm_bisect_median_on_D(
+                D, med_prev, max_rows=median_max_rows,
+                warm_passes=warm_passes,
+            ),
+        )
     phi_fn.init_med = init_med
     return phi_fn
 
@@ -303,7 +328,7 @@ class SVGDSampler:
                  key=None, theta=None, dtype=jnp.float32,
                  median="exact", kernel_impl="xla", median_max_rows=512,
                  max_phi_norm=10.0, mesh=None, particle_axis="particles",
-                 donate=True, pallas_block=512, pallas_interpret=False,
+                 donate=True, pallas_block=1024, pallas_interpret=False,
                  model_axis=None, comm="all_gather", remat=False,
                  kernel=None, binned_bins=4096, binned_block_rows=256,
                  median_passes=30, warm_median=False, warm_passes=8,

@@ -66,6 +66,32 @@ def subsampled_sq_dist_median(theta, max_rows=512):
     return jnp.median(D)
 
 
+def _strided_rows(D, max_rows):
+    """Deterministic strided row subsample of a materialised D — the same
+    rows (hence bitwise the same values, given equal matmul precision) as
+    the block the theta-based entry points compute."""
+    n = D.shape[0]
+    if n <= max_rows:
+        return D
+    stride = n // max_rows
+    return D[jnp.arange(max_rows) * stride]
+
+
+def bisect_median_on_D(D, max_rows=512, passes=30):
+    """bisect_median for callers that already materialised the full
+    [n, n] distance matrix (the XLA phi path computes D for the kernel
+    anyway — recomputing a distance block just for the median would
+    duplicate a HIGHEST-precision Gram matmul)."""
+    Ds = _strided_rows(D, max_rows)
+    lo0 = jnp.minimum(jnp.min(Ds), 0.0)
+    hi0 = jnp.max(Ds)
+
+    def count_le(mid, cdt):
+        return jnp.sum(Ds <= mid, dtype=cdt)
+
+    return _bisect_search(count_le, Ds.size, lo0, hi0, passes)
+
+
 def bisect_median(theta, max_rows=512, passes=30):
     """Sort-free median of the (row-subsampled) squared-distance matrix via
     bisection on the value axis — the TPU-native fast path.
@@ -315,7 +341,18 @@ def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
         stride = n // max_rows
         idx = jnp.arange(max_rows) * stride
         D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+    return _warm_search(D, med_prev, warm_passes, bracket, bracket_wide)
 
+
+def warm_bisect_median_on_D(D, med_prev, max_rows=512, warm_passes=8,
+                            bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0)):
+    """warm_bisect_median for callers that already materialised the full
+    [n, n] D (see bisect_median_on_D)."""
+    return _warm_search(_strided_rows(D, max_rows), med_prev, warm_passes,
+                        bracket, bracket_wide)
+
+
+def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide):
     total = D.size
     k = (total + 1) // 2
     cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32

@@ -188,6 +188,29 @@ def test_warm_bisect_median():
     assert abs(bad - exact) / exact < 1e-9
 
 
+def test_bisect_on_D_matches_theta_entry():
+    """The on-D entry points (used by the XLA phi path to reuse its
+    materialised D) must equal the theta-based ones bitwise: the strided
+    row subsample selects the same rows and the same-precision Gram gives
+    the same values."""
+    from stein_tpu.ops import rbf
+    from stein_tpu.ops.median import (
+        bisect_median, bisect_median_on_D,
+        warm_bisect_median, warm_bisect_median_on_D,
+    )
+    rng = np.random.default_rng(22)
+    for n in (100, 700):     # below and above max_rows
+        theta = jnp.asarray(rng.normal(size=(n, 4)))
+        D = rbf.pairwise_sq_dists(theta)
+        a = float(bisect_median(theta, max_rows=256, passes=40))
+        b = float(bisect_median_on_D(D, max_rows=256, passes=40))
+        assert a == b, (n, a, b)
+        hint = jnp.float64(a * 1.01)
+        c = float(warm_bisect_median(theta, hint, max_rows=256))
+        d = float(warm_bisect_median_on_D(D, hint, max_rows=256))
+        assert c == d, (n, c, d)
+
+
 def test_warm_median_sampler_tracks_cold():
     import jax
     from stein_tpu import SVGDSampler, Adam
