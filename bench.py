@@ -106,11 +106,12 @@ def main():
     n1 = 1000
     X, y, theta0 = make_data(n1)
     t_np = bench_numpy(X, y, theta0)
-    # R=10/reps=5: at ~60 us/step the slope numerator (R-1)*K*step is
-    # only ~0.1 s — it must dominate the tunnel's 30-110 ms fetch-RTT
-    # variance or the result bounces +-25% run to run.
+    # K=1000/R=10/reps=5: the slope numerator (R-1)*K*step must dominate
+    # the tunnel's 30-110 ms fetch-RTT variance; at ~50 us/step K=200
+    # left a ~0.09 s numerator and the result bounced 48<->58 us across
+    # runs — K=1000 gives ~0.45 s and a stable reading.
     t_jax = bench_jax(
-        X, y, theta0, K=200, R=10, reps=5,
+        X, y, theta0, K=1000, R=10, reps=5,
         median="bisect",   # sort-free on-device median (sorts are the one
                            # slow TPU primitive; see ops/median.py)
         median_passes=16,  # bandwidth to ~1e-4 relative: ample for the

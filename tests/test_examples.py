@@ -86,7 +86,7 @@ def test_production_run_recovers_and_reports(capsys, monkeypatch, tmp_path):
     accs = [_floats(ln.split("held-out acc")[1])[0]
             for ln in out.splitlines() if "held-out acc" in ln]
     assert accs and all(0.0 <= a <= 1.0 for a in accs)
-    ksd = _floats(_line(out, "final KSD^2:"))[0]
+    ksd = _floats(_line(out, "final KSD^2:"))[-1]   # [-1]: "KSD^2" parses a 2
     assert np.isfinite(ksd) and ksd > 0
     assert "executed 40 steps" in out
 
@@ -104,6 +104,28 @@ def test_large_particle_posterior_and_throughput(capsys, monkeypatch):
     # 64 particles / 301 iters: loose but meaningful band (measured 0.07
     # with MC error scale 0.02).
     assert mean_err < 0.2, err_line
+
+
+def test_gaussian_mixture_captures_all_modes(capsys, monkeypatch):
+    """The multimodality demo: particles must populate ALL modes with
+    roughly the right mass (SVGD's defining property; a point-estimate
+    collapse would put ~1.0 mass on one mode)."""
+    out = _run(
+        "examples/gaussian_mixture.py",
+        ["--n-particles", "120", "--n-iters", "1500"], capsys, monkeypatch)
+    masses = []
+    for ln in out.splitlines():
+        if ln.startswith("mode "):
+            nums = _floats(ln)
+            true_w, mass, mean_err = nums[1], nums[2], nums[3]
+            masses.append((true_w, mass))
+            # SVGD's finite-bandwidth mass bias is ~0.1 here; 0.15 still
+            # cleanly excludes a collapsed (0 or 1) mode.
+            assert abs(mass - true_w) < 0.15, ln
+            assert mean_err < 0.15, ln
+    assert len(masses) == 3
+    ksd = _floats(_line(out, "KSD^2:"))[-1]   # [-1]: "KSD^2" parses a 2
+    assert 0 < ksd < 0.1
 
 
 def test_load_csv_data_reads_reference_layout(tmp_path):
