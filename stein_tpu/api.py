@@ -307,9 +307,10 @@ class SVGDSampler:
         multi-chip execution (stein_tpu.parallel). With a mesh,
         kernel_impl is not configurable (the sharded step has its own
         tiled kernel path and raises for non-defaults); custom ``kernel``
-        objects ARE supported on a 1-D particle mesh (both comm modes)
-        via the generic weights-kernel tile, but not on a 2-D
-        particles x model mesh.
+        objects ARE supported on both 1-D particle meshes (both comm
+        modes) and 2-D particles x model meshes via the generic
+        weights-kernel tile. The 2-D mesh supports median="exact"
+        (guarded by the per-device gather ceiling) and "bisect".
     model_axis : optional second mesh axis name to additionally shard the
         parameter dimension (stein_tpu.parallel.sharded2d).
     comm : "all_gather" | "ring" block exchange for the 1-D sharded step.
@@ -427,15 +428,6 @@ class SVGDSampler:
             # options they cannot honour must fail loudly, not silently
             # fall back (a custom kernel silently replaced by RBF would
             # sample the wrong posterior geometry).
-            if kernel is not None and model_axis is not None:
-                from .kernels import SquaredExponentialKernel
-                if not isinstance(kernel, SquaredExponentialKernel):
-                    raise NotImplementedError(
-                        "custom kernels are not supported with a 2-D "
-                        "(particles x model) mesh — the model-sharded Gram "
-                        "contraction is hard-wired to the RBF kernel; use "
-                        "a 1-D particle mesh for custom kernels"
-                    )
             if kernel_impl != "xla":
                 raise ValueError(
                     "kernel_impl is not configurable with a mesh; the "
@@ -456,7 +448,9 @@ class SVGDSampler:
                         n_params=self.n_params,
                         state=state, mesh=mesh, particle_axis=particle_axis,
                         model_axis=model_axis, max_phi_norm=max_phi_norm,
-                        donate=donate, remat=remat,
+                        donate=donate, remat=remat, median=median,
+                        median_max_rows=median_max_rows,
+                        median_passes=median_passes, kernel=kernel,
                     )
             else:
                 from .parallel.sharded import make_sharded_step

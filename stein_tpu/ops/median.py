@@ -431,6 +431,39 @@ def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
                           count_many=count_many)
 
 
+def sharded_bisect_median_on_D(D_rows, axis_name, max_rows=512, passes=30):
+    """sharded_bisect_median for callers that already hold their exact
+    local distance rows ``[n_loc, n]`` — the 2-D (particles x model) mesh
+    step materialises D_rows after its model-axis Gram psum, so counting
+    on it directly avoids recomputing any distance block.
+
+    Counts run over a strided subsample of the local rows and psum over
+    the PARTICLE axis only; D_rows must be replicated over any other mesh
+    axes (it is, post-psum), so every shard bisects the same global
+    interval and agrees on the result. Semantics: compute_median.py:4-16
+    to fp-bisection resolution."""
+    n_dev = jax.lax.axis_size(axis_name)
+    n_loc, n = D_rows.shape
+    m = max(min(max_rows // n_dev, n_loc), 1)
+    stride = max(n_loc // m, 1)
+    idx = jnp.arange(m) * stride
+    Ds = D_rows[idx]
+
+    total = m * n_dev * n
+    lo0 = jax.lax.pmin(jnp.minimum(jnp.min(Ds), 0.0), axis_name)
+    hi0 = jax.lax.pmax(jnp.max(Ds), axis_name)
+
+    def count_le(mid, cdt):
+        return jax.lax.psum(jnp.sum(Ds <= mid, dtype=cdt), axis_name)
+
+    def count_many(ts, cdt):
+        local = jnp.stack([jnp.sum(Ds <= t, dtype=cdt) for t in ts])
+        return jax.lax.psum(local, axis_name)
+
+    return _bisect_search(count_le, total, lo0, hi0, passes,
+                          count_many=count_many)
+
+
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):
     """Distributed histogram-refinement median where the particle blocks
     circulate around the ring (ppermute) instead of being all-gathered —

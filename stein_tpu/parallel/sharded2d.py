@@ -52,8 +52,27 @@ def shard_state_2d(state, mesh, particle_axis, model_axis):
 
 def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
                         mesh, particle_axis="particles", model_axis="model",
-                        max_phi_norm=10.0, donate=True, remat=False):
-    """Build (step_fn, jitted_step, sharded_state) over a 2-D mesh."""
+                        max_phi_norm=10.0, donate=True, remat=False,
+                        median="exact", median_max_rows=512,
+                        median_passes=30, kernel=None):
+    """Build (step_fn, jitted_step, sharded_state) over a 2-D mesh.
+
+    ``median``: "exact" gathers the full [n, n] D onto every device
+    (guarded by the same per-device byte ceiling as the 1-D path);
+    "bisect" psums strided-row counts on the already-materialised local
+    D rows — gather-free, exact to fp-bisection resolution.
+
+    ``kernel``: optional pluggable kernel from stein_tpu.kernels (the
+    ``weights(D, h2) -> (K, W)`` contract — reference surface:
+    stein/kernels/abstract_kernel.py:45-62). None / SquaredExponentialKernel
+    use the fused single-contraction RBF path; other kernels (e.g.
+    InverseMultiquadricKernel) take the generic two-matmul path, same fp
+    order as kernels.generic_svgd_phi.
+    """
+    if kernel is not None:
+        from ..kernels import SquaredExponentialKernel
+        if isinstance(kernel, SquaredExponentialKernel):
+            kernel = None    # fused RBF path
     dp = mesh.shape[particle_axis]
     mp = mesh.shape[model_axis]
     if n_particles % dp != 0:
@@ -62,6 +81,24 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
     if n_params % mp != 0:
         raise ValueError(f"n_params={n_params} not divisible by "
                          f"{model_axis}={mp} (pad the template)")
+    if median not in ("exact", "bisect"):
+        raise ValueError(
+            f"unknown 2-D sharded median mode: {median!r} "
+            "(use 'exact' or 'bisect')"
+        )
+    if median == "exact":
+        from .sharded import EXACT_MEDIAN_GATHER_LIMIT_BYTES
+        itemsize = jnp.dtype(state.particles.dtype).itemsize
+        gather_bytes = n_particles * n_particles * itemsize
+        if gather_bytes > EXACT_MEDIAN_GATHER_LIMIT_BYTES:
+            n_max = int((EXACT_MEDIAN_GATHER_LIMIT_BYTES // itemsize) ** 0.5)
+            raise ValueError(
+                f"median='exact' on a 2-D mesh would all-gather the full "
+                f"[{n_particles}, {n_particles}] distance matrix onto every "
+                f"device ({gather_bytes / 2**20:.0f} MB/device). Use "
+                f"median='bisect' (exact to fp-bisection resolution, no "
+                f"gather) for n_particles > {n_max}."
+            )
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
@@ -109,24 +146,50 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
         gram = jax.lax.psum(partial_gram, model_axis)
         D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
 
-        # Global exact median over all n^2 entries (compute_median.py:4-16):
-        # row blocks live on the particle axis; gather over it.
-        D_full = jax.lax.all_gather(D_rows, particle_axis, tiled=True)
-        med = jnp.median(D_full)
+        # Global median over all n^2 entries (compute_median.py:4-16):
+        # row blocks live on the particle axis.
+        if median == "exact":
+            D_full = jax.lax.all_gather(D_rows, particle_axis, tiled=True)
+            med = jnp.median(D_full)
+        else:  # "bisect" — counts on the local D rows, psum'd over rows
+            from ..ops.median import sharded_bisect_median_on_D
+            med = sharded_bisect_median_on_D(
+                D_rows, particle_axis, max_rows=median_max_rows,
+                passes=median_passes,
+            )
         from ..ops.rbf import bandwidth_sq_from_median
         h2 = bandwidth_sq_from_median(med, n_particles)
 
-        K_rows = jnp.exp(-D_rows / h2 / 2.0)          # [n_loc, n] (replicated
+        if kernel is None:
+            K_rows = jnp.exp(-D_rows / h2 / 2.0)      # [n_loc, n] (replicated
                                                       #  over model axis)
-        ksum = jnp.sum(K_rows, axis=1, keepdims=True)
-        both = jnp.matmul(
-            K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
-            preferred_element_type=theta_blk.dtype,
-            precision=jax.lax.Precision.HIGH,
-        )                                             # [n_loc, 2*p_loc]
-        attract = both[:, :p_loc]
-        ktheta = both[:, p_loc:]
-        phi = (attract + (ksum * theta_blk - ktheta) / h2) / n_particles
+            ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+            both = jnp.matmul(
+                K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
+                preferred_element_type=theta_blk.dtype,
+                precision=jax.lax.Precision.HIGH,
+            )                                         # [n_loc, 2*p_loc]
+            attract = both[:, :p_loc]
+            ktheta = both[:, p_loc:]
+            phi = (attract + (ksum * theta_blk - ktheta) / h2) / n_particles
+        else:
+            # Generic weights-kernel path: K and W differ, so the
+            # attractive and repulsive contractions cannot share one
+            # matmul (same fp order as kernels.generic_svgd_phi). Both
+            # are [n_loc, n] @ [n, p_loc] — the model axis stays local.
+            K_rows, W_rows = kernel.weights(D_rows, h2)
+            wsum = jnp.sum(W_rows, axis=1, keepdims=True)
+            attract = jnp.matmul(
+                K_rows, grads_cols,
+                preferred_element_type=theta_blk.dtype,
+                precision=jax.lax.Precision.HIGH,
+            )
+            wtheta = jnp.matmul(
+                W_rows, theta_cols,
+                preferred_element_type=theta_blk.dtype,
+                precision=jax.lax.Precision.HIGH,
+            )
+            phi = (attract + (wsum * theta_blk - wtheta)) / n_particles
 
         # Global clip: psum the squared Frobenius norm over BOTH axes.
         sq = jnp.sum(phi * phi)

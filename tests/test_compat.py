@@ -106,15 +106,15 @@ def test_option_guards():
     with pytest.raises(ValueError):
         SVGDSampler(kernel_impl="pallas", median="exact", **common)
     mesh = particle_mesh(jax.devices()[:1])
-    # 1-D meshes DO honour custom kernels (generic weights tile) since r2,
-    # but a 2-D particlesxmodel mesh cannot: refuse, never silently
-    # substitute RBF.
+    # Both 1-D and 2-D meshes honour custom kernels since r2 (generic
+    # weights tile; equality tests in test_sharded.py / test_sharded2d.py).
+    # A 2-D mesh still refuses median modes its tiled path cannot honour.
     import numpy as _np
     from jax.sharding import Mesh
     mesh2d = Mesh(_np.asarray(jax.devices()[:1]).reshape(1, 1),
                   ("particles", "model"))
-    with pytest.raises(NotImplementedError):
-        SVGDSampler(mesh=mesh2d, model_axis="model",
+    with pytest.raises(ValueError, match="2-D sharded median"):
+        SVGDSampler(mesh=mesh2d, model_axis="model", median="subsample",
                     kernel=InverseMultiquadricKernel(), **common)
     with pytest.raises(ValueError):
         SVGDSampler(mesh=mesh, kernel_impl="pallas", **common)

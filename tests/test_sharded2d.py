@@ -64,6 +64,94 @@ def test_2d_sharded_matches_single_device():
     assert np.isfinite(float(aux["phi_norm"]))
 
 
+def _mesh_4x2():
+    return Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("particles", "model")
+    )
+
+
+@requires_8_devices
+def test_2d_imq_matches_single_device():
+    """Custom weights-kernel (IMQ) on a 2-D particles x model mesh must
+    reproduce the single-device generic path (kernels.generic_svgd_phi) —
+    the model-axis Gram psum and the two-matmul K/W contraction commute
+    with the parameter sharding."""
+    from stein_tpu.kernels import InverseMultiquadricKernel
+    theta0, model, batch = _setup()
+    n, p = theta0.shape
+    kern = InverseMultiquadricKernel(c=1.0, beta=-0.5)
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, kernel=kern,
+    )
+    single = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    sharded = SVGDSampler(
+        gd=Adam(learning_rate=1e-1), mesh=_mesh_4x2(), model_axis="model",
+        **common,
+    )
+    for t in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+        np.testing.assert_allclose(
+            sharded.samples, single.samples, rtol=1e-9, atol=1e-12,
+            err_msg=f"step {t}",
+        )
+
+
+@requires_8_devices
+def test_2d_bisect_median_matches_single_device():
+    """2-D gather-free bisect median (psum'd counts on the local D rows)
+    tracks the single-device bisect trajectory."""
+    theta0, model, batch = _setup()
+    n, p = theta0.shape
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, median="bisect",
+    )
+    single = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    sharded = SVGDSampler(
+        gd=Adam(learning_rate=1e-1), mesh=_mesh_4x2(), model_axis="model",
+        **common,
+    )
+    for _ in range(5):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-6, atol=1e-10,
+    )
+
+
+@requires_8_devices
+def test_2d_exact_median_gather_guard():
+    """median='exact' on a 2-D mesh refuses the n^2 all-gather beyond the
+    per-device limit, pointing at 'bisect'."""
+    rng = np.random.default_rng(0)
+    n = 8192     # 8192^2 * 8 B (f64) = 512 MB/device > the 256 MB limit
+    model = LinearRegressionModel(8)
+    theta0 = rng.normal(size=(n, 8)) * 0.01
+    with pytest.raises(ValueError, match="bisect"):
+        SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+            mesh=_mesh_4x2(), model_axis="model", median="exact",
+        )
+
+
+@requires_8_devices
+def test_2d_unsupported_median_raises():
+    theta0, model, batch = _setup()
+    with pytest.raises(ValueError, match="2-D sharded median"):
+        SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+            mesh=_mesh_4x2(), model_axis="model", median="binned",
+        )
+
+
 @requires_8_devices
 def test_2d_sharded_divisibility_errors():
     theta0, model, batch = _setup(n_particles=16, n_feats=7)
