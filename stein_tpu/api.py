@@ -87,7 +87,11 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
         # Pluggable non-RBF kernel (stein_tpu.kernels): generic two-matrix
         # XLA path.
         from .kernels import SquaredExponentialKernel, generic_svgd_phi
-        if not isinstance(kernel, SquaredExponentialKernel):
+        # Exact-type check: a SquaredExponentialKernel SUBCLASS may
+        # override weights(), so only the exact class takes the fused
+        # RBF path — anything else would silently sample the wrong
+        # posterior geometry.
+        if type(kernel) is not SquaredExponentialKernel:
             if kernel_impl != "xla":
                 raise ValueError(
                     "kernel_impl='pallas' supports only the RBF kernel; "

@@ -413,18 +413,23 @@ def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
     rsq_rows = jnp.sum(rows * rows, axis=1)
     rsq_all = jnp.sum(theta_all * theta_all, axis=1)
     D = _row_block_sq_dists(rows, theta_all, rsq_rows, rsq_all)
+    return _sharded_bisect_on_rows(D, axis_name, m * n_dev * n, passes)
 
-    total = m * n_dev * n
-    lo0 = jax.lax.pmin(jnp.minimum(jnp.min(D), 0.0), axis_name)
-    hi0 = jax.lax.pmax(jnp.max(D), axis_name)
+
+def _sharded_bisect_on_rows(Ds, axis_name, total, passes):
+    """Shared core of the distributed bisect medians: every shard holds a
+    row block ``Ds`` of the global sample (``total`` entries across the
+    axis), counts locally, and psums so all shards bisect the same
+    interval. The quad-ary round's three local counts batch into ONE psum
+    (one collective per round instead of three)."""
+    lo0 = jax.lax.pmin(jnp.minimum(jnp.min(Ds), 0.0), axis_name)
+    hi0 = jax.lax.pmax(jnp.max(Ds), axis_name)
 
     def count_le(mid, cdt):
-        return jax.lax.psum(jnp.sum(D <= mid, dtype=cdt), axis_name)
+        return jax.lax.psum(jnp.sum(Ds <= mid, dtype=cdt), axis_name)
 
     def count_many(ts, cdt):
-        # Batch the round's local counts into ONE psum (one collective
-        # per quad-ary round instead of three).
-        local = jnp.stack([jnp.sum(D <= t, dtype=cdt) for t in ts])
+        local = jnp.stack([jnp.sum(Ds <= t, dtype=cdt) for t in ts])
         return jax.lax.psum(local, axis_name)
 
     return _bisect_search(count_le, total, lo0, hi0, passes,
@@ -447,21 +452,8 @@ def sharded_bisect_median_on_D(D_rows, axis_name, max_rows=512, passes=30):
     m = max(min(max_rows // n_dev, n_loc), 1)
     stride = max(n_loc // m, 1)
     idx = jnp.arange(m) * stride
-    Ds = D_rows[idx]
-
-    total = m * n_dev * n
-    lo0 = jax.lax.pmin(jnp.minimum(jnp.min(Ds), 0.0), axis_name)
-    hi0 = jax.lax.pmax(jnp.max(Ds), axis_name)
-
-    def count_le(mid, cdt):
-        return jax.lax.psum(jnp.sum(Ds <= mid, dtype=cdt), axis_name)
-
-    def count_many(ts, cdt):
-        local = jnp.stack([jnp.sum(Ds <= t, dtype=cdt) for t in ts])
-        return jax.lax.psum(local, axis_name)
-
-    return _bisect_search(count_le, total, lo0, hi0, passes,
-                          count_many=count_many)
+    return _sharded_bisect_on_rows(D_rows[idx], axis_name,
+                                   m * n_dev * n, passes)
 
 
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):

@@ -17,7 +17,9 @@ to O(n*p) per tile-row instead of O(n^2).
 The bandwidth h^2 is computed beforehand (subsampled or histogram median,
 ops/median.py) since the kernel needs it inside the tile.
 
-Semantics match ops/rbf.svgd_phi exactly (same reference citations):
+Semantics match ops/rbf.svgd_phi (same reference citations) to matmul
+reduction order plus the tile's exp2 evaluation of the exponential
+(~2.7e-7 max rel diff vs jnp.exp — see the note in _svgd_tile_kernel):
   phi_i = ( sum_j K_ij g_j + (sum_j K_ij theta_i - sum_j K_ij theta_j)/h^2 ) / n
 """
 
@@ -87,8 +89,9 @@ def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
                     interpret=False, precision="f32"):
     """Fused SVGD direction phi for [n, p] particles/gradients.
 
-    Matches ops/rbf.svgd_phi's output bit-for-bit up to matmul reduction
-    order (precision='f32'); precision='bf16' runs the two tile matmuls
+    Matches ops/rbf.svgd_phi's output up to matmul reduction order and
+    the tile's exp2 exponential (~2.7e-7 rel, see _svgd_tile_kernel)
+    (precision='f32'); precision='bf16' runs the two tile matmuls
     with bfloat16 inputs / f32 accumulation for ~3x MXU rate at ~1e-2
     relative kernel error. n and p are unconstrained (rows are zero-padded
     to the block size and masked inside the kernel; Mosaic handles

@@ -31,6 +31,23 @@ from ..ops.rbf import bandwidth_sq_from_median
 EXACT_MEDIAN_GATHER_LIMIT_BYTES = 2 ** 28
 
 
+def check_exact_median_gather(n_particles, dtype, context, alternatives):
+    """Refuse median='exact' when its [n, n] all-gather onto every device
+    would exceed EXACT_MEDIAN_GATHER_LIMIT_BYTES — a user scaling up with
+    the default would otherwise hit a silent OOM. Shared by the 1-D and
+    2-D sharded steps so the limit policy stays in one place."""
+    itemsize = jnp.dtype(dtype).itemsize
+    gather_bytes = n_particles * n_particles * itemsize
+    if gather_bytes > EXACT_MEDIAN_GATHER_LIMIT_BYTES:
+        n_max = int((EXACT_MEDIAN_GATHER_LIMIT_BYTES // itemsize) ** 0.5)
+        raise ValueError(
+            f"median='exact' on a {context} would all-gather the full "
+            f"[{n_particles}, {n_particles}] distance matrix onto every "
+            f"device ({gather_bytes / 2**20:.0f} MB/device). Use "
+            f"{alternatives} for n_particles > {n_max}."
+        )
+
+
 def _place_global(leaf, sharding):
     """Place a host-replicated array onto a (possibly multi-process) mesh.
 
@@ -178,7 +195,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     """
     if kernel is not None:
         from ..kernels import SquaredExponentialKernel
-        if isinstance(kernel, SquaredExponentialKernel):
+        # Exact type only: a subclass may override weights(); silently
+        # substituting the fused RBF path would sample the wrong geometry.
+        if type(kernel) is SquaredExponentialKernel:
             kernel = None    # fused RBF path
     axis = particle_axis
     n_dev = mesh.shape[axis]
@@ -199,23 +218,11 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     if comm not in ("all_gather", "ring"):
         raise ValueError(f"unknown comm mode: {comm!r}")
     if median == "exact":
-        # median='exact' (the SVGDSampler default) all-gathers the FULL
-        # [n, n] distance matrix onto EVERY device — pure overhead that
-        # grows as n^2 per device and silently OOMs a user scaling up with
-        # defaults. Refuse above a threshold where the gather dwarfs the
-        # useful per-device state (n=8192 -> 256 MB/device in f32).
-        itemsize = jnp.dtype(state.particles.dtype).itemsize
-        gather_bytes = n_particles * n_particles * itemsize
-        if gather_bytes > EXACT_MEDIAN_GATHER_LIMIT_BYTES:
-            n_max = int((EXACT_MEDIAN_GATHER_LIMIT_BYTES // itemsize) ** 0.5)
-            raise ValueError(
-                f"median='exact' on a mesh would all-gather the full "
-                f"[{n_particles}, {n_particles}] distance matrix onto every "
-                f"device ({gather_bytes / 2**20:.0f} MB/device). Use "
-                f"median='bisect' (exact to fp-bisection resolution, no "
-                f"gather) or median='binned' (psum'd histogram) for "
-                f"n_particles > {n_max}."
-            )
+        check_exact_median_gather(
+            n_particles, state.particles.dtype, "mesh",
+            "median='bisect' (exact to fp-bisection resolution, no "
+            "gather) or median='binned' (psum'd histogram)",
+        )
     if comm == "ring" and median != "binned":
         raise ValueError(
             f"comm='ring' supports only median='binned' (got {median!r}); "

@@ -71,7 +71,9 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
     """
     if kernel is not None:
         from ..kernels import SquaredExponentialKernel
-        if isinstance(kernel, SquaredExponentialKernel):
+        # Exact type only: a subclass may override weights(); silently
+        # substituting the fused RBF path would sample the wrong geometry.
+        if type(kernel) is SquaredExponentialKernel:
             kernel = None    # fused RBF path
     dp = mesh.shape[particle_axis]
     mp = mesh.shape[model_axis]
@@ -87,18 +89,11 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
             "(use 'exact' or 'bisect')"
         )
     if median == "exact":
-        from .sharded import EXACT_MEDIAN_GATHER_LIMIT_BYTES
-        itemsize = jnp.dtype(state.particles.dtype).itemsize
-        gather_bytes = n_particles * n_particles * itemsize
-        if gather_bytes > EXACT_MEDIAN_GATHER_LIMIT_BYTES:
-            n_max = int((EXACT_MEDIAN_GATHER_LIMIT_BYTES // itemsize) ** 0.5)
-            raise ValueError(
-                f"median='exact' on a 2-D mesh would all-gather the full "
-                f"[{n_particles}, {n_particles}] distance matrix onto every "
-                f"device ({gather_bytes / 2**20:.0f} MB/device). Use "
-                f"median='bisect' (exact to fp-bisection resolution, no "
-                f"gather) for n_particles > {n_max}."
-            )
+        from .sharded import check_exact_median_gather
+        check_exact_median_gather(
+            n_particles, state.particles.dtype, "2-D mesh",
+            "median='bisect' (exact to fp-bisection resolution, no gather)",
+        )
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
