@@ -101,3 +101,42 @@ def test_imq_with_pallas_raises():
             gd=Adam(), dtype=jnp.float64,
             kernel=InverseMultiquadricKernel(), kernel_impl="pallas",
         )
+
+
+def test_rbf_subclass_routes_to_generic_path():
+    """A SquaredExponentialKernel SUBCLASS with an overridden weights()
+    must NOT be silently rerouted to the fused RBF path (exact-type
+    dispatch): its trajectory follows its own weights, matching kernel=
+    the equivalent non-subclass kernel."""
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class ImqViaRbfSubclass(SquaredExponentialKernel):
+        def weights(self, D, h2):
+            return InverseMultiquadricKernel(c=1.0, beta=-0.5).weights(
+                D, h2
+            )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(20, 3))
+    y = X @ rng.normal(size=(3, 1))
+    model = LinearRegressionModel(3)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    theta0 = rng.normal(size=(8, 3)) * 0.01
+    common = dict(
+        n_particles=8, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64,
+    )
+    sub = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                      kernel=ImqViaRbfSubclass(), **common)
+    imq = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                      kernel=InverseMultiquadricKernel(), **common)
+    rbf_s = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                        kernel=SquaredExponentialKernel(), **common)
+    for _ in range(3):
+        sub.train_on_batch(batch)
+        imq.train_on_batch(batch)
+        rbf_s.train_on_batch(batch)
+    np.testing.assert_allclose(sub.samples, imq.samples, rtol=1e-12)
+    assert np.abs(sub.samples - rbf_s.samples).max() > 1e-10
