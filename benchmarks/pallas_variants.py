@@ -37,7 +37,8 @@ P = 128
 
 
 def _tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
-                 gt_j_ref, both_ref, ksum_ref, *, use_exp2):
+                 gt_j_ref, both_ref, ksum_ref, *, use_exp2,
+                 use_recip=False, skip_mask=False):
     j = pl.program_id(1)
     n_valid = n_ref[0]
     bj = gt_j_ref.shape[0]
@@ -56,22 +57,29 @@ def _tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
         - 2.0 * jnp.dot(theta_i, theta_j.T,
                         preferred_element_type=jnp.float32)
     )
-    if use_exp2:
+    if use_recip:
+        # Fold 1/h2 into a per-tile SCALAR so the per-element path is a
+        # single multiply before exp2 (no per-element division).
+        c = (-1.4426950408889634 / 2.0) / h2_ref[0]
+        K = jnp.exp2(D * c)
+    elif use_exp2:
         c = -1.4426950408889634 / 2.0            # -log2(e)/2
         K = jnp.exp2(D / h2_ref[0] * c)
     else:
         K = jnp.exp(-D / h2_ref[0] / 2.0)
-    col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
-    K = jnp.where(col < n_valid, K, 0.0)
+    if not skip_mask:
+        col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
+        K = jnp.where(col < n_valid, K, 0.0)
     both_ref[:] += jnp.dot(K, gt_j_ref[:],
                            preferred_element_type=jnp.float32)
     ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "use_exp2", "semantics"))
+                   static_argnames=("block", "use_exp2", "semantics",
+                                    "use_recip", "skip_mask"))
 def variant_phi(theta, grads, h2, block=1024, use_exp2=False,
-                semantics=False):
+                semantics=False, use_recip=False, skip_mask=False):
     n, p = theta.shape
     f32 = jnp.float32
     bi = bj = block
@@ -88,7 +96,8 @@ def variant_phi(theta, grads, h2, block=1024, use_exp2=False,
             dimension_semantics=("parallel", "arbitrary")
         )
     both, ksum = pl.pallas_call(
-        functools.partial(_tile_kernel, use_exp2=use_exp2),
+        functools.partial(_tile_kernel, use_exp2=use_exp2,
+                          use_recip=use_recip, skip_mask=skip_mask),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -152,14 +161,22 @@ def main():
     ref = np.asarray(pallas_svgd_phi(theta0, grads0, h2))
 
     variants = [
-        ("blk1024_base", dict(block=1024)),
-        ("blk1024_semantics", dict(block=1024, semantics=True)),
         ("blk1024_exp2", dict(block=1024, use_exp2=True)),
-        ("blk1024_sem_exp2", dict(block=1024, semantics=True,
-                                  use_exp2=True)),
+        # VPU-op-count attack: the tile is exp/VPU-bound, so shave
+        # per-element ops — fold 1/h2 into a per-tile scalar (drops a
+        # per-element divide) and drop the padded-column mask when n is
+        # block-aligned (iota + compare + select = 3 ops/element; n=10240
+        # IS aligned to 1024).
+        ("blk1024_recip", dict(block=1024, use_recip=True)),
+        ("blk1024_nomask", dict(block=1024, use_exp2=True,
+                                skip_mask=True)),
+        ("blk1024_recip_nomask", dict(block=1024, use_recip=True,
+                                      skip_mask=True)),
         # ("blk2048", dict(block=2048)) fails to compile on this chip:
         # remote_compile HTTP 500 (tpu_compile_helper exit 1) — VMEM
         # overflow for the 2048x2048 f32 tile + 2048x256 operands.
+        # Earlier sweep (same harness): base-exp 0.478/0.481 ms,
+        # semantics hint no effect, exp2 0.459/0.424 ms (adopted).
     ]
     for name, kw in variants:
         try:

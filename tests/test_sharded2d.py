@@ -153,6 +153,26 @@ def test_2d_unsupported_median_raises():
 
 
 @requires_8_devices
+def test_2d_aux_posterior_and_ksd():
+    """The diagnostic surfaces (function_posterior, ksd, samples) work on
+    a 2-D-sharded sampler — jit re-gathers the parameter shards for the
+    per-particle evaluations."""
+    theta0, model, batch = _setup()
+    sharded = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+        dtype=jnp.float64, mesh=_mesh_4x2(), model_axis="model",
+    )
+    aux = sharded.train_on_batch(batch)
+    assert np.isfinite(float(aux["phi_norm"]))
+    dist = sharded.function_posterior(model.predict, batch)
+    assert dist.shape == (theta0.shape[0], batch["X"].shape[0])
+    assert np.isfinite(float(sharded.ksd(batch)))
+    assert sharded.samples.shape == theta0.shape
+
+
+@requires_8_devices
 def test_2d_sharded_divisibility_errors():
     theta0, model, batch = _setup(n_particles=16, n_feats=7)
     gd = Adam()
