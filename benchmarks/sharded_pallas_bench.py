@@ -1,0 +1,102 @@
+"""Real-TPU check + benchmark of kernel_impl='pallas' under shard_map.
+
+The CPU tests validate the sharded Pallas tile in interpret mode; this
+script exercises the Mosaic-COMPILED kernel inside shard_map on the real
+chip (a 1-device mesh — the only hardware here), asserting the sharded
+step tracks the single-chip Pallas step and measuring the shard_map
+overhead at the n=10240 BASELINE config.
+
+Prints JSON lines (one per measurement). Timing uses bench.py's
+two-length slope method (the tunneled device's block_until_ready is
+unreliable; see .tpu memory notes).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from stein_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from bench import make_data, N_PARAMS
+from stein_tpu import SVGDSampler, Adam
+from stein_tpu.models import LinearRegressionModel
+from stein_tpu.parallel import particle_mesh
+
+
+def make_sampler(X, y, theta0, **kwargs):
+    model = LinearRegressionModel(N_PARAMS)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    sampler = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(),
+        gd=Adam(learning_rate=1e-1),
+        theta=jnp.asarray(theta0, jnp.float32),
+        **kwargs,
+    )
+    return sampler, batch
+
+
+def slope_time(sampler, batch, K, R, reps):
+    sampler.run(batch, K)
+    np.asarray(sampler.state.particles)
+
+    def timed(n_dispatches):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_dispatches):
+                sampler.run(batch, K)
+            np.asarray(sampler.state.particles)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tR = timed(R)
+    return max(tR - t1, 1e-9) / ((R - 1) * K)
+
+
+def main():
+    n = 10240
+    X, y, theta0 = make_data(n, seed=1)
+    opts = dict(kernel_impl="pallas", median="bisect", median_passes=16,
+                pallas_block=1024, median_max_rows=128)
+
+    single, batch = make_sampler(X, y, theta0, **opts)
+    mesh = particle_mesh(jax.devices()[:1])
+    sharded, _ = make_sampler(X, y, theta0, mesh=mesh, **opts)
+
+    # Correctness: 3 compiled steps, sharded vs single-chip Pallas.
+    for _ in range(3):
+        single.train_on_batch(batch)
+        sharded.train_on_batch(batch)
+    err = float(
+        np.max(np.abs(sharded.samples - single.samples))
+        / max(np.max(np.abs(single.samples)), 1e-30)
+    )
+    print(json.dumps({"bench": "sharded_pallas_correctness",
+                      "n": n, "max_rel_err_vs_single": err}))
+    assert err < 2e-4, err
+
+    t_single = slope_time(single, batch, K=100, R=6, reps=4)
+    t_sharded = slope_time(sharded, batch, K=100, R=6, reps=4)
+    print(json.dumps({
+        "bench": "sharded_pallas_step", "n": n,
+        "single_ms": round(t_single * 1e3, 4),
+        "sharded_1dev_ms": round(t_sharded * 1e3, 4),
+        "shard_map_overhead_pct": round(
+            100 * (t_sharded - t_single) / t_single, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

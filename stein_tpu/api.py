@@ -308,11 +308,14 @@ class SVGDSampler:
         faster — kept as an opt-in for MXU-bound shapes (large p).
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
-        multi-chip execution (stein_tpu.parallel). With a mesh,
-        kernel_impl is not configurable (the sharded step has its own
-        tiled kernel path and raises for non-defaults); custom ``kernel``
-        objects ARE supported on both 1-D particle meshes (both comm
-        modes) and 2-D particles x model meshes via the generic
+        multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh
+        kernel_impl="pallas" streams each shard's local-rows x global-cols
+        tiles through the same fused Pallas kernel as the single-chip path
+        (requires comm="all_gather", the default RBF kernel, and a
+        gather-free median — "bisect" or "binned"); the 2-D mesh is
+        XLA-tiled only and raises for kernel_impl="pallas". Custom
+        ``kernel`` objects ARE supported on both 1-D particle meshes (both
+        comm modes) and 2-D particles x model meshes via the generic
         weights-kernel tile. The 2-D mesh supports median="exact"
         (guarded by the per-device gather ceiling) and "bisect".
     model_axis : optional second mesh axis name to additionally shard the
@@ -428,14 +431,16 @@ class SVGDSampler:
                 )
                 self._warm_init_med = warm_phi.init_med
         else:
-            # The sharded steps implement their own tiled kernel path;
-            # options they cannot honour must fail loudly, not silently
-            # fall back (a custom kernel silently replaced by RBF would
-            # sample the wrong posterior geometry).
-            if kernel_impl != "xla":
+            # Options the sharded steps cannot honour must fail loudly,
+            # not silently fall back (a custom kernel silently replaced
+            # by RBF would sample the wrong posterior geometry).
+            if kernel_impl not in ("xla", "pallas"):
+                raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
+            if kernel_impl == "pallas" and model_axis is not None:
                 raise ValueError(
-                    "kernel_impl is not configurable with a mesh; the "
-                    "sharded step uses its own tiled kernel path"
+                    "kernel_impl='pallas' is supported on 1-D particle "
+                    "meshes only; the 2-D (particles x model) step tiles "
+                    "the model axis with its own XLA path"
                 )
             if warm_median:
                 raise ValueError(
@@ -468,6 +473,9 @@ class SVGDSampler:
                         binned_block_rows=binned_block_rows, remat=remat,
                         median_max_rows=median_max_rows,
                         median_passes=median_passes, kernel=kernel,
+                        kernel_impl=kernel_impl, pallas_block=pallas_block,
+                        pallas_interpret=pallas_interpret,
+                        pallas_precision=pallas_precision,
                     )
 
         self._posterior_cache = {}

@@ -83,34 +83,43 @@ def _pad_rows(x, rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_i", "block_j", "interpret", "precision")
+    jax.jit,
+    static_argnames=("n_total", "block_i", "block_j", "interpret",
+                     "precision"),
 )
-def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
-                    interpret=False, precision="f32"):
-    """Fused SVGD direction phi for [n, p] particles/gradients.
+def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
+                         n_total=None, block_i=512, block_j=512,
+                         interpret=False, precision="f32"):
+    """Rectangular fused SVGD tile: phi for an [m, p] row block of
+    particles against [n, p] column particles/gradients.
 
-    Matches ops/rbf.svgd_phi's output up to matmul reduction order and
-    the tile's exp2 exponential (~2.7e-7 rel, see _svgd_tile_kernel)
-    (precision='f32'); precision='bf16' runs the two tile matmuls
-    with bfloat16 inputs / f32 accumulation for ~3x MXU rate at ~1e-2
-    relative kernel error. n and p are unconstrained (rows are zero-padded
-    to the block size and masked inside the kernel; Mosaic handles
-    non-128 p).
+    The m == n case is the single-chip path (``pallas_svgd_phi``); the
+    m < n case is one shard of the particle-sharded step
+    (parallel/sharded.py with kernel_impl='pallas'), where each device
+    streams its local rows against the all-gathered global columns —
+    the [m, n] distance/kernel tiles never touch HBM, exactly as on a
+    single chip. ``n_total`` is the global particle count dividing phi
+    (reference abstract_stein_sampler.py:105); it defaults to n.
     """
-    n, p = theta.shape
-    dtype = theta.dtype
+    m, p = theta_rows.shape
+    n = theta_cols.shape[0]
+    if n_total is None:
+        n_total = n
+    dtype = theta_rows.dtype
     f32 = jnp.float32
-    bi = min(block_i, max(8, n))
+    bi = min(block_i, max(8, m))
     bj = min(block_j, max(8, n))
-    n_pad = -(-n // max(bi, bj)) * max(bi, bj)
-    bi = bj = max(bi, bj)
+    m_pad = -(-m // bi) * bi
+    n_pad = -(-n // bj) * bj
 
-    theta_p = _pad_rows(theta.astype(f32), n_pad - n)
-    grads_p = _pad_rows(grads.astype(f32), n_pad - n)
-    gt = jnp.concatenate([grads_p, theta_p], axis=1)       # [n_pad, 2p]
-    rsq = jnp.sum(theta_p * theta_p, axis=1, keepdims=True)  # [n_pad, 1]
+    rows_p = _pad_rows(theta_rows.astype(f32), m_pad - m)
+    cols_p = _pad_rows(theta_cols.astype(f32), n_pad - n)
+    grads_p = _pad_rows(grads_cols.astype(f32), n_pad - n)
+    gt = jnp.concatenate([grads_p, cols_p], axis=1)        # [n_pad, 2p]
+    rsq_i = jnp.sum(rows_p * rows_p, axis=1, keepdims=True)  # [m_pad, 1]
+    rsq_j = jnp.sum(cols_p * cols_p, axis=1, keepdims=True)  # [n_pad, 1]
 
-    grid = (n_pad // bi, n_pad // bj)
+    grid = (m_pad // bi, n_pad // bj)
     h2_arr = jnp.asarray(h2, f32).reshape(1)
     n_arr = jnp.asarray(n, jnp.int32).reshape(1)
 
@@ -131,21 +140,46 @@ def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
             pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),        # ksum
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 2 * p), f32),
-            jax.ShapeDtypeStruct((n_pad, 1), f32),
+            jax.ShapeDtypeStruct((m_pad, 2 * p), f32),
+            jax.ShapeDtypeStruct((m_pad, 1), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * n_pad * 3 * p,
-            bytes_accessed=4 * (n_pad * p * 3 + n_pad * n_pad // 64),
-            transcendentals=n_pad * n_pad,
+            flops=2 * m_pad * n_pad * 3 * p,
+            bytes_accessed=4 * (m_pad * p + n_pad * p * 2
+                                + m_pad * n_pad // 64),
+            transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(h2_arr, n_arr, rsq, theta_p, rsq, gt)
+    )(h2_arr, n_arr, rsq_i, rows_p, rsq_j, gt)
 
-    both = both[:n]
-    ksum = ksum[:n]
+    both = both[:m]
+    ksum = ksum[:m]
     attract = both[:, :p]
     ktheta = both[:, p:]
     h2f = jnp.asarray(h2, f32)
-    phi = (attract + (ksum * theta.astype(f32) - ktheta) / h2f) / n
+    phi = (
+        attract + (ksum * theta_rows.astype(f32) - ktheta) / h2f
+    ) / n_total
     return phi.astype(dtype)
+
+
+def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
+                    interpret=False, precision="f32"):
+    """Fused SVGD direction phi for [n, p] particles/gradients.
+
+    Matches ops/rbf.svgd_phi's output up to matmul reduction order and
+    the tile's exp2 exponential (~2.7e-7 rel, see _svgd_tile_kernel)
+    (precision='f32'); precision='bf16' runs the two tile matmuls
+    with bfloat16 inputs / f32 accumulation for ~3x MXU rate at ~1e-2
+    relative kernel error. n and p are unconstrained (rows are zero-padded
+    to the block size and masked inside the kernel; Mosaic handles
+    non-128 p).
+    """
+    n = theta.shape[0]
+    # Reproduce the historic square-path block choice exactly: both block
+    # dims clamp to [8, n] and then snap to their common maximum.
+    b = max(min(block_i, max(8, n)), min(block_j, max(8, n)))
+    return pallas_svgd_phi_rect(
+        theta, theta, grads, h2, block_i=b, block_j=b,
+        interpret=interpret, precision=precision,
+    )

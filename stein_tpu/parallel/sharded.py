@@ -180,7 +180,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       max_phi_norm=10.0, donate=True,
                       binned_bins=4096, binned_block_rows=256,
                       comm="all_gather", remat=False, median_max_rows=512,
-                      median_passes=30, kernel=None):
+                      median_passes=30, kernel=None, kernel_impl="xla",
+                      pallas_block=1024, pallas_interpret=False,
+                      pallas_precision="f32"):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
@@ -192,6 +194,12 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     use the fused RBF tile whose fp order matches ops/rbf.svgd_phi exactly;
     other kernels (e.g. InverseMultiquadricKernel) take the generic
     two-matmul tile path.
+
+    ``kernel_impl='pallas'`` streams each shard's local-rows x global-cols
+    kernel tiles through the same fused Pallas kernel as the single-chip
+    path (ops/pallas_svgd.pallas_svgd_phi_rect) — the [n_loc, n] distance
+    and kernel matrices never touch HBM. Requires comm='all_gather', the
+    default RBF kernel, and a gather-free median ('bisect' or 'binned').
     """
     if kernel is not None:
         from ..kernels import SquaredExponentialKernel
@@ -217,6 +225,28 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     if comm not in ("all_gather", "ring"):
         raise ValueError(f"unknown comm mode: {comm!r}")
+    if kernel_impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
+    if kernel_impl == "pallas":
+        if kernel is not None:
+            raise ValueError(
+                "kernel_impl='pallas' implements the fused RBF tile only; "
+                "custom kernels use kernel_impl='xla' (the generic "
+                "two-matmul tile path)"
+            )
+        if comm == "ring":
+            raise ValueError(
+                "kernel_impl='pallas' requires comm='all_gather' (the "
+                "Pallas tile consumes the gathered global column block; "
+                "the ring never assembles one)"
+            )
+        if median not in ("bisect", "binned"):
+            raise ValueError(
+                f"kernel_impl='pallas' requires a gather-free median "
+                f"('bisect' or 'binned', got {median!r}): the Pallas tile "
+                "streams the distance matrix without materialising the "
+                "[n_loc, n] rows median='exact' sorts"
+            )
     if median == "exact":
         check_exact_median_gather(
             n_particles, state.particles.dtype, "mesh",
@@ -267,10 +297,14 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
             rsq_all = jnp.sum(theta_all * theta_all, axis=1)
             # Local rows x global cols of D = r + r^T - 2 T T^T
-            # (abstract_kernel.py:33-35).
-            D_rows = _row_block_sq_dists(
-                theta_loc, theta_all, rsq_loc, rsq_all
-            )
+            # (abstract_kernel.py:33-35). The Pallas path streams these
+            # tiles inside the fused kernel instead of materialising them
+            # (its median modes are gather-free, so nothing else needs D).
+            D_rows = None
+            if kernel_impl == "xla":
+                D_rows = _row_block_sq_dists(
+                    theta_loc, theta_all, rsq_loc, rsq_all
+                )
 
             # Global median over all n^2 entries (compute_median.py:4-16).
             if median == "exact":
@@ -297,7 +331,15 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 med.astype(theta_loc.dtype), n_particles
             )
 
-            if kernel is None:
+            if kernel_impl == "pallas":
+                from ..ops.pallas_svgd import pallas_svgd_phi_rect
+                phi = pallas_svgd_phi_rect(
+                    theta_loc, theta_all, grads_all, h2,
+                    n_total=n_particles, block_i=pallas_block,
+                    block_j=pallas_block, interpret=pallas_interpret,
+                    precision=pallas_precision,
+                )
+            elif kernel is None:
                 K_rows = jnp.exp(-D_rows / h2 / 2.0)     # [n_loc, n]
                 ksum = jnp.sum(K_rows, axis=1, keepdims=True)
                 both = jnp.matmul(

@@ -244,6 +244,89 @@ def test_warm_median_mesh_raises():
 
 
 @requires_8_devices
+def test_sharded_pallas_matches_single_pallas():
+    """kernel_impl='pallas' on a 1-D mesh: each shard streams its
+    local-rows x gathered-global-cols tiles through the same fused kernel
+    as the single-chip Pallas path — trajectories must agree (both are
+    f32 inside the tile; the bisect medians are bitwise equal, so the
+    only divergence is row-block padding, which is masked)."""
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect", kernel_impl="pallas", pallas_interpret=True,
+    )
+    for t in range(4):
+        aux_s = single.train_on_batch(batch)
+        aux_m = sharded.train_on_batch(batch)
+        np.testing.assert_allclose(
+            sharded.samples, single.samples, rtol=1e-6, atol=1e-9,
+            err_msg=f"step {t}",
+        )
+        np.testing.assert_allclose(
+            float(aux_m["h2"]), float(aux_s["h2"]), rtol=1e-12
+        )
+
+
+@requires_8_devices
+def test_sharded_pallas_matches_sharded_xla():
+    """The sharded Pallas tile agrees with the sharded XLA tile to f32
+    resolution (the XLA side runs f64 on CPU; the Pallas tile is f32 with
+    an exp2 exponential, ~3e-7 rel)."""
+    theta0, model, batch = _linreg(n_particles=32)
+    mesh = particle_mesh(jax.devices()[:8])
+    xla, _ = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect",
+    )
+    pallas = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+        dtype=jnp.float64, mesh=particle_mesh(jax.devices()[:8]),
+        median="bisect", kernel_impl="pallas", pallas_interpret=True,
+    )
+    for _ in range(3):
+        xla.train_on_batch(batch)
+        pallas.train_on_batch(batch)
+    np.testing.assert_allclose(
+        pallas.samples, xla.samples, rtol=1e-4, atol=1e-7
+    )
+
+
+@requires_8_devices
+def test_sharded_pallas_option_guards():
+    """Unsupported combinations fail loudly at construction."""
+    from stein_tpu.kernels import InverseMultiquadricKernel
+    theta0, model, _ = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64), gd=Adam(),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, mesh=mesh,
+        kernel_impl="pallas",
+    )
+    with pytest.raises(ValueError, match="gather-free median"):
+        SVGDSampler(**common, median="exact")
+    with pytest.raises(ValueError, match="all_gather"):
+        SVGDSampler(**common, median="bisect", comm="ring")
+    with pytest.raises(ValueError, match="custom kernels"):
+        SVGDSampler(**common, median="bisect",
+                    kernel=InverseMultiquadricKernel())
+    with pytest.raises(ValueError, match="1-D particle meshes"):
+        from jax.sharding import Mesh
+        import numpy as _np
+        devs = _np.asarray(jax.devices()[:8]).reshape(4, 2)
+        SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float64), gd=Adam(),
+            theta=jnp.asarray(theta0), dtype=jnp.float64,
+            mesh=Mesh(devs, ("particles", "model")), model_axis="model",
+            kernel_impl="pallas", median="bisect",
+        )
+
+
+@requires_8_devices
 def test_sharded_bisect_median_matches_exact():
     """Distributed bisect median (psum'd counts): with the subsample
     covering all rows it equals the exact median to fp resolution."""
