@@ -20,8 +20,11 @@ Run: python benchmarks/scaling_model.py [--n 10240] [--p 128]
 
 import argparse
 
-# Measured on one TPU v5-lite chip (benchmarks/phi_scan_bench.py, 2026-08).
-MEASURED_TFLOPS = 145.0
+# Measured on one TPU v5-lite chip: the f32-faithful Pallas phi tile at
+# n=10240/p=128 runs 0.447 ms = 6*n^2*p / 0.447ms ~= 180 TF/s-equivalent
+# (benchmarks/pallas_variants.py, round 2 — supersedes the round-1
+# 145 TF/s figure, which was measured at default (bf16-input) precision).
+MEASURED_TFLOPS = 180.0
 # Public per-link ICI figure for v5e-class chips, one direction.
 ICI_BYTES_PER_S = 4.5e10
 

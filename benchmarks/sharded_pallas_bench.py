@@ -97,6 +97,32 @@ def main():
             100 * (t_sharded - t_single) / t_single, 2),
     }))
 
+    # Warm median on the mesh (the full production large-n mesh config:
+    # Pallas tile + scan-carried psum'd warm bracket).
+    warm_single, _ = make_sampler(X, y, theta0, warm_median=True,
+                                  warm_passes=8, **opts)
+    warm_sharded, _ = make_sampler(
+        X, y, theta0, mesh=particle_mesh(jax.devices()[:1]),
+        warm_median=True, warm_passes=8, **opts)
+    warm_single.run(batch, 3)
+    warm_sharded.run(batch, 3)
+    werr = float(
+        np.max(np.abs(warm_sharded.samples - warm_single.samples))
+        / max(np.max(np.abs(warm_single.samples)), 1e-30)
+    )
+    print(json.dumps({"bench": "sharded_warm_correctness", "n": n,
+                      "max_rel_err_vs_single_warm": werr}))
+    assert werr < 2e-4, werr
+    tw_single = slope_time(warm_single, batch, K=100, R=6, reps=4)
+    tw_sharded = slope_time(warm_sharded, batch, K=100, R=6, reps=4)
+    print(json.dumps({
+        "bench": "sharded_warm_pallas_step", "n": n,
+        "single_warm_ms": round(tw_single * 1e3, 4),
+        "sharded_warm_1dev_ms": round(tw_sharded * 1e3, 4),
+        "warm_vs_cold_sharded_pct": round(
+            100 * (tw_sharded - t_sharded) / t_sharded, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -328,7 +328,10 @@ class SVGDSampler:
         (ops/median.warm_bisect_median, branchless) — ~2x cheaper median
         with bounded bandwidth error (~0.17*med/4^ceil(warm_passes/2) per
         step, re-verified every step so it never accumulates). Requires
-        median='bisect' and the default RBF kernel. Off by default so
+        median='bisect' and the default RBF kernel; on a 1-D particle
+        mesh (comm='all_gather', either kernel_impl) the warm counts
+        psum across shards — one batched collective per quad-ary round
+        (ops/median.sharded_warm_bisect_median). Off by default so
         run(k) stays bit-equal to k train_on_batch calls.
     """
 
@@ -443,11 +446,22 @@ class SVGDSampler:
                     "the model axis with its own XLA path"
                 )
             if warm_median:
-                raise ValueError(
-                    "warm_median is not supported with a mesh; use "
-                    "median='bisect' (the sharded bisect median psums its "
-                    "counts) without warm start"
-                )
+                if model_axis is not None:
+                    raise ValueError(
+                        "warm_median is not supported with a 2-D "
+                        "(particles x model) mesh; use a 1-D particle mesh"
+                    )
+                if median != "bisect" or kernel is not None:
+                    raise ValueError(
+                        "warm_median=True requires median='bisect' and "
+                        "the default RBF kernel"
+                    )
+                if comm != "all_gather":
+                    raise ValueError(
+                        "warm_median on a mesh requires comm='all_gather' "
+                        "(the warm counts run against the gathered global "
+                        "column block)"
+                    )
             if model_axis is not None:
                 from .parallel.sharded2d import make_sharded2d_step
                 self._step_fn, self._jit_step, self.state = \
@@ -477,6 +491,23 @@ class SVGDSampler:
                         pallas_interpret=pallas_interpret,
                         pallas_precision=pallas_precision,
                     )
+                if warm_median:
+                    from .parallel.sharded import make_sharded_warm_step
+                    self._warm_step_fn, self._warm_init_med = \
+                        make_sharded_warm_step(
+                            log_p=log_p, unravel_fn=self.unravel_fn,
+                            gd=gd, n_particles=self.n_particles,
+                            state=state, mesh=mesh,
+                            particle_axis=particle_axis,
+                            max_phi_norm=max_phi_norm, remat=remat,
+                            median_max_rows=median_max_rows,
+                            median_passes=median_passes,
+                            warm_passes=warm_passes,
+                            kernel_impl=kernel_impl,
+                            pallas_block=pallas_block,
+                            pallas_interpret=pallas_interpret,
+                            pallas_precision=pallas_precision,
+                        )
 
         self._posterior_cache = {}
         self._jit_run = None

@@ -352,8 +352,15 @@ def warm_bisect_median_on_D(D, med_prev, max_rows=512, warm_passes=8,
                         bracket, bracket_wide)
 
 
-def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide):
-    total = D.size
+def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide,
+                 axis_name=None, total=None):
+    """Shared warm-bracket search. With ``axis_name`` (inside shard_map),
+    ``D`` is each shard's row block of a ``total``-entry global sample:
+    counts psum (batched — ONE collective for the 4 bracket endpoints,
+    one per quad-ary round) and the range reduces via a single batched
+    pmax of [-lo, hi], so every shard refines the same interval."""
+    if total is None:
+        total = D.size
     k = (total + 1) // 2
     cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
     k_c = jnp.asarray(k, cdt)
@@ -370,6 +377,12 @@ def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide):
     c_b1 = jnp.sum(D <= b1, dtype=cdt)
     c_a2 = jnp.sum(D <= a2, dtype=cdt)
     c_b2 = jnp.sum(D <= b2, dtype=cdt)
+    if axis_name is not None:
+        mm = jax.lax.pmax(jnp.stack([-lo_full, hi_full]), axis_name)
+        lo_full, hi_full = -mm[0], mm[1]
+        c_a1, c_b1, c_a2, c_b2 = jax.lax.psum(
+            jnp.stack([c_a1, c_b1, c_a2, c_b2]), axis_name
+        )
 
     have_hint = med_prev > 0
     valid1 = have_hint & (c_a1 < k_c) & (c_b1 >= k_c)
@@ -387,6 +400,8 @@ def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide):
             jnp.sum(D <= lo + 2.0 * w, dtype=cdt),
             jnp.sum(D <= lo + 3.0 * w, dtype=cdt),
         ])
+        if axis_name is not None:
+            cnts = jax.lax.psum(cnts, axis_name)
         b = jnp.sum((cnts < k_c).astype(lo.dtype))
         lo_new = lo + b * w
         return lo_new, lo_new + w
@@ -395,14 +410,11 @@ def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide):
     return 0.5 * (lo + hi)
 
 
-def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
-                          passes=30):
-    """Distributed sort-free median for the all-gather sharded step: each
-    shard counts over a strided subsample of its LOCAL rows against the
-    gathered global columns; counts psum over the particle axis, so every
-    shard bisects the same global interval and agrees on the result.
-
-    ~max_rows rows are used globally (split evenly across shards)."""
+def _sharded_row_block(theta_loc, theta_all, axis_name, max_rows):
+    """Each shard's strided LOCAL-row subsample against the gathered
+    global columns: the distributed analogue of _strided_rows, with
+    ~max_rows rows used globally (split evenly across shards). Returns
+    (D_block, total_global_entries)."""
     n_dev = jax.lax.axis_size(axis_name)
     n_loc = theta_loc.shape[0]
     n = theta_all.shape[0]
@@ -413,7 +425,54 @@ def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
     rsq_rows = jnp.sum(rows * rows, axis=1)
     rsq_all = jnp.sum(theta_all * theta_all, axis=1)
     D = _row_block_sq_dists(rows, theta_all, rsq_rows, rsq_all)
-    return _sharded_bisect_on_rows(D, axis_name, m * n_dev * n, passes)
+    return D, m * n_dev * n
+
+
+def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
+                          passes=30):
+    """Distributed sort-free median for the all-gather sharded step: each
+    shard counts over a strided subsample of its LOCAL rows against the
+    gathered global columns; counts psum over the particle axis, so every
+    shard bisects the same global interval and agrees on the result.
+
+    ~max_rows rows are used globally (split evenly across shards)."""
+    D, total = _sharded_row_block(theta_loc, theta_all, axis_name, max_rows)
+    return _sharded_bisect_on_rows(D, axis_name, total, passes)
+
+
+def sharded_warm_bisect_median(theta_loc, theta_all, med_prev, axis_name,
+                               max_rows=512, warm_passes=8,
+                               bracket=(0.92, 1.09),
+                               bracket_wide=(0.25, 4.0)):
+    """Distributed warm_bisect_median for the all-gather sharded step:
+    the same branchless verified-bracket search (see warm_bisect_median's
+    error bounds), with every count/range reduction psum'd across the
+    particle axis — 1 batched psum for the bracket pass plus one per
+    quad-ary round, vs 1+ceil(passes/2) for the cold sharded search. With
+    max_rows covering all rows it is bitwise equal to the single-device
+    warm search on the same particles (identical counts -> identical
+    interval arithmetic)."""
+    D, total = _sharded_row_block(theta_loc, theta_all, axis_name, max_rows)
+    return _warm_search(D, med_prev, warm_passes, bracket, bracket_wide,
+                        axis_name=axis_name, total=total)
+
+
+def sharded_warm_bisect_median_on_D(D_rows, med_prev, axis_name,
+                                    max_rows=512, warm_passes=8,
+                                    bracket=(0.92, 1.09),
+                                    bracket_wide=(0.25, 4.0)):
+    """sharded_warm_bisect_median for callers that already materialised
+    their local [n_loc, n] distance rows (the sharded XLA tile path):
+    counts run on the same strided local-row subsample the theta-based
+    entry point would compute — bitwise the same values, no second Gram
+    matmul."""
+    n_dev = jax.lax.axis_size(axis_name)
+    n_loc, n = D_rows.shape
+    m = max(min(max_rows // n_dev, n_loc), 1)
+    stride = max(n_loc // m, 1)
+    Ds = D_rows[jnp.arange(m) * stride]
+    return _warm_search(Ds, med_prev, warm_passes, bracket, bracket_wide,
+                        axis_name=axis_name, total=m * n_dev * n)
 
 
 def _sharded_bisect_on_rows(Ds, axis_name, total, passes):

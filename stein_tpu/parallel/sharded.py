@@ -387,16 +387,7 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
         }
         return new_state, aux
 
-    pdim = P(axis, None)
-    state_specs = SVGDState(
-        particles=pdim,
-        opt_state=jax.tree_util.tree_map(
-            lambda leaf: pdim if leaf.ndim >= 1 and
-            leaf.shape[0] == n_particles else P(),
-            state.opt_state,
-        ),
-        step=P(),
-    )
+    state_specs = _state_specs(state, n_particles, axis)
     aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
 
     step_fn = jax.shard_map(
@@ -408,3 +399,156 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     )
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     return step_fn, jitted, shard_state(state, mesh, axis)
+
+
+def _state_specs(state, n_particles, axis):
+    """PartitionSpecs for an SVGDState on a 1-D particle mesh: particle-dim
+    arrays sharded along ``axis``, scalar state replicated."""
+    pdim = P(axis, None)
+    return SVGDState(
+        particles=pdim,
+        opt_state=jax.tree_util.tree_map(
+            lambda leaf: pdim if leaf.ndim >= 1 and
+            leaf.shape[0] == n_particles else P(),
+            state.opt_state,
+        ),
+        step=P(),
+    )
+
+
+def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
+                           particle_axis="particles", max_phi_norm=10.0,
+                           remat=False, median_max_rows=512,
+                           median_passes=30, warm_passes=8,
+                           kernel_impl="xla", pallas_block=1024,
+                           pallas_interpret=False, pallas_precision="f32"):
+    """Warm-median variant of the sharded step for the scan loops
+    (api.run / train_on_batches): carry is (SVGDState, med_prev), and the
+    bandwidth search refines the previous step's median inside a
+    count-verified bracket (ops/median.sharded_warm_bisect_median — the
+    same branchless search as single-chip, with the counts psum'd: ONE
+    batched collective for the bracket pass plus one per quad-ary round,
+    vs 1+ceil(median_passes/2) for the cold sharded search).
+
+    Supports the default RBF kernel with comm='all_gather' only, in both
+    tile flavours (kernel_impl='xla' reuses its materialised D rows for
+    the warm counts; 'pallas' streams tiles and counts on the strided row
+    subsample). Returns (warm_step_fn, init_med_fn): warm_step_fn is
+    shard_map'd and scan-ready; init_med_fn is a jitted cold sharded
+    bisect used to seed the scan carry.
+    """
+    axis = particle_axis
+    n_dev = mesh.shape[axis]
+    if n_particles % n_dev != 0:
+        raise ValueError(
+            f"n_particles={n_particles} must divide evenly over the "
+            f"{n_dev}-way particle axis {axis!r}"
+        )
+    if kernel_impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
+
+    from ..ops.median import (
+        sharded_bisect_median,
+        sharded_warm_bisect_median,
+        sharded_warm_bisect_median_on_D,
+    )
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
+
+    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def spmd_warm_step(carry, batch):
+        state, med_prev = carry
+        theta_loc = state.particles
+        n_loc, p = theta_loc.shape
+        log_p_vals, grads_loc = grad_all(theta_loc, batch)
+        theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
+        grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
+
+        if kernel_impl == "pallas":
+            from ..ops.pallas_svgd import pallas_svgd_phi_rect
+            med = sharded_warm_bisect_median(
+                theta_loc, theta_all, med_prev, axis,
+                max_rows=median_max_rows, warm_passes=warm_passes,
+            )
+            h2 = bandwidth_sq_from_median(
+                med.astype(theta_loc.dtype), n_particles
+            )
+            phi = pallas_svgd_phi_rect(
+                theta_loc, theta_all, grads_all, h2,
+                n_total=n_particles, block_i=pallas_block,
+                block_j=pallas_block, interpret=pallas_interpret,
+                precision=pallas_precision,
+            )
+        else:
+            rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
+            rsq_all = jnp.sum(theta_all * theta_all, axis=1)
+            D_rows = _row_block_sq_dists(
+                theta_loc, theta_all, rsq_loc, rsq_all
+            )
+            # Warm counts run on (a strided local-row subsample of) the D
+            # the kernel materialises anyway — no second Gram matmul.
+            med = sharded_warm_bisect_median_on_D(
+                D_rows, med_prev, axis,
+                max_rows=median_max_rows, warm_passes=warm_passes,
+            )
+            h2 = bandwidth_sq_from_median(
+                med.astype(theta_loc.dtype), n_particles
+            )
+            K_rows = jnp.exp(-D_rows / h2 / 2.0)     # [n_loc, n]
+            ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+            both = jnp.matmul(
+                K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
+                preferred_element_type=theta_loc.dtype,
+                precision=jax.lax.Precision.HIGH,
+            )
+            attract = both[:, :p]
+            ktheta = both[:, p:]
+            phi = (
+                attract + (ksum * theta_loc - ktheta) / h2
+            ) / n_particles
+
+        # Global Frobenius-norm clip (abstract_stein_sampler.py:125).
+        norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))
+        c = jnp.asarray(max_phi_norm, theta_loc.dtype)
+        phi = phi * (c / jnp.maximum(c, norm))
+
+        delta, opt_state = gd.update(state.opt_state, phi)
+        new_state = SVGDState(theta_loc + delta, opt_state, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jax.lax.pmean(jnp.mean(log_p_vals), axis),
+            "h2": h2,
+            "median": med,
+        }
+        med_carry = med.astype(theta_loc.dtype)
+        return (new_state, med_carry), aux
+
+    state_specs = _state_specs(state, n_particles, axis)
+    carry_specs = (state_specs, P())
+    aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
+
+    warm_step_fn = jax.shard_map(
+        spmd_warm_step,
+        mesh=mesh,
+        in_specs=(carry_specs, P()),
+        out_specs=(carry_specs, aux_specs),
+        check_vma=False,
+    )
+
+    def init_spmd(theta_loc):
+        theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
+        return sharded_bisect_median(
+            theta_loc, theta_all, axis,
+            max_rows=median_max_rows, passes=median_passes,
+        )
+
+    init_med_fn = jax.jit(jax.shard_map(
+        init_spmd, mesh=mesh, in_specs=P(axis, None), out_specs=P(),
+        check_vma=False,
+    ))
+    return warm_step_fn, init_med_fn

@@ -231,15 +231,70 @@ def test_sharded_exact_median_gather_guard():
 
 
 @requires_8_devices
-def test_warm_median_mesh_raises():
+def test_sharded_warm_matches_single_warm():
+    """warm_median on a 1-D mesh: the scan loops carry the previous
+    median and refine it with psum'd counts
+    (ops/median.sharded_warm_bisect_median). With the row subsample
+    covering all rows the warm medians are bitwise equal to single-chip,
+    so run() trajectories match to sharded-vs-single fp tolerance."""
     theta0, model, batch = _linreg()
     mesh = particle_mesh(jax.devices()[:8])
-    with pytest.raises(ValueError, match="warm_median"):
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect", warm_median=True, warm_passes=8,
+    )
+    aux_s = single.run(batch, 6)
+    aux_m = sharded.run(batch, 6)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_m["median"]), np.asarray(aux_s["median"]),
+        rtol=1e-12,
+    )
+
+
+@requires_8_devices
+def test_sharded_warm_pallas_matches_single():
+    """warm_median composes with the sharded Pallas tile (the full
+    production large-n mesh config)."""
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect", warm_median=True, warm_passes=8,
+        kernel_impl="pallas", pallas_interpret=True,
+    )
+    single.run(batch, 5)
+    sharded.run(batch, 5)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-6, atol=1e-9
+    )
+
+
+@requires_8_devices
+def test_warm_median_mesh_guards():
+    """Still-unsupported warm combinations fail loudly: 2-D mesh, ring
+    comm, non-bisect median."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+        warm_median=True,
+    )
+    with pytest.raises(ValueError, match="all_gather"):
+        SVGDSampler(**common, mesh=mesh, median="bisect", comm="ring")
+    with pytest.raises(ValueError, match="bisect"):
+        SVGDSampler(**common, mesh=mesh, median="binned")
+    devs = _np.asarray(jax.devices()[:8]).reshape(4, 2)
+    with pytest.raises(ValueError, match="2-D"):
         SVGDSampler(
-            n_particles=theta0.shape[0], log_p=model.log_p,
-            param_template=model.template(jnp.float64),
-            gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
-            mesh=mesh, median="bisect", warm_median=True,
+            **common, mesh=Mesh(devs, ("particles", "model")),
+            model_axis="model", median="bisect",
         )
 
 
