@@ -352,6 +352,14 @@ class SVGDSampler:
                 "SVGD needs n_particles >= 2 (the median-heuristic bandwidth "
                 "h^2 = median(D)/log(n) is undefined for n=1)"
             )
+        if kernel is not None:
+            from .kernels import SquaredExponentialKernel
+            # Exact-type normalization: an explicit SquaredExponentialKernel
+            # IS the default kernel, so every dispatch (fused RBF paths,
+            # warm_median guards) treats it as kernel=None. Subclasses may
+            # override weights() and stay on the generic path.
+            if type(kernel) is SquaredExponentialKernel:
+                kernel = None
         self.log_p = log_p
         self.gd = gd
         self.dtype = dtype

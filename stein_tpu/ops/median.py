@@ -410,22 +410,30 @@ def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide,
     return 0.5 * (lo + hi)
 
 
+def _local_row_idx(n_loc, axis_name, max_rows):
+    """THE local-row subsample policy shared by every distributed median
+    entry point (~max_rows rows used globally, split evenly across the
+    particle axis, strided locally). One copy, so the theta-based and
+    on-D variants provably count bitwise the same rows. Returns
+    (row_indices, global_row_count)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    m = max(min(max_rows // n_dev, n_loc), 1)
+    stride = max(n_loc // m, 1)
+    return jnp.arange(m) * stride, m * n_dev
+
+
 def _sharded_row_block(theta_loc, theta_all, axis_name, max_rows):
     """Each shard's strided LOCAL-row subsample against the gathered
     global columns: the distributed analogue of _strided_rows, with
     ~max_rows rows used globally (split evenly across shards). Returns
     (D_block, total_global_entries)."""
-    n_dev = jax.lax.axis_size(axis_name)
-    n_loc = theta_loc.shape[0]
     n = theta_all.shape[0]
-    m = max(min(max_rows // n_dev, n_loc), 1)
-    stride = max(n_loc // m, 1)
-    idx = jnp.arange(m) * stride
+    idx, m_global = _local_row_idx(theta_loc.shape[0], axis_name, max_rows)
     rows = theta_loc[idx]
     rsq_rows = jnp.sum(rows * rows, axis=1)
     rsq_all = jnp.sum(theta_all * theta_all, axis=1)
     D = _row_block_sq_dists(rows, theta_all, rsq_rows, rsq_all)
-    return D, m * n_dev * n
+    return D, m_global * n
 
 
 def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
@@ -466,13 +474,11 @@ def sharded_warm_bisect_median_on_D(D_rows, med_prev, axis_name,
     counts run on the same strided local-row subsample the theta-based
     entry point would compute — bitwise the same values, no second Gram
     matmul."""
-    n_dev = jax.lax.axis_size(axis_name)
     n_loc, n = D_rows.shape
-    m = max(min(max_rows // n_dev, n_loc), 1)
-    stride = max(n_loc // m, 1)
-    Ds = D_rows[jnp.arange(m) * stride]
-    return _warm_search(Ds, med_prev, warm_passes, bracket, bracket_wide,
-                        axis_name=axis_name, total=m * n_dev * n)
+    idx, m_global = _local_row_idx(n_loc, axis_name, max_rows)
+    return _warm_search(D_rows[idx], med_prev, warm_passes, bracket,
+                        bracket_wide, axis_name=axis_name,
+                        total=m_global * n)
 
 
 def _sharded_bisect_on_rows(Ds, axis_name, total, passes):
@@ -506,13 +512,10 @@ def sharded_bisect_median_on_D(D_rows, axis_name, max_rows=512, passes=30):
     axes (it is, post-psum), so every shard bisects the same global
     interval and agrees on the result. Semantics: compute_median.py:4-16
     to fp-bisection resolution."""
-    n_dev = jax.lax.axis_size(axis_name)
     n_loc, n = D_rows.shape
-    m = max(min(max_rows // n_dev, n_loc), 1)
-    stride = max(n_loc // m, 1)
-    idx = jnp.arange(m) * stride
+    idx, m_global = _local_row_idx(n_loc, axis_name, max_rows)
     return _sharded_bisect_on_rows(D_rows[idx], axis_name,
-                                   m * n_dev * n, passes)
+                                   m_global * n, passes)
 
 
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):

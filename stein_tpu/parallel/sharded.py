@@ -175,6 +175,59 @@ def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis):
     return acc_both[:, :p], acc_both[:, p:], acc_ksum
 
 
+def _rbf_phi_rows_xla(theta_loc, theta_all, grads_all, D_rows, h2,
+                      n_particles):
+    """Fused RBF tile on local rows x gathered global cols (XLA path):
+    K, row-sums, and the single [n_loc, n] x [n, 2p] MXU contraction —
+    the same fp order as ops/rbf.svgd_phi. Shared by the cold and warm
+    sharded steps so their phi semantics cannot drift apart."""
+    p = theta_loc.shape[1]
+    K_rows = jnp.exp(-D_rows / h2 / 2.0)     # [n_loc, n]
+    ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+    both = jnp.matmul(
+        K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
+        preferred_element_type=theta_loc.dtype,
+        precision=jax.lax.Precision.HIGH,
+    )
+    attract = both[:, :p]
+    ktheta = both[:, p:]
+    return (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
+
+
+def _rbf_phi_rows_pallas(theta_loc, theta_all, grads_all, h2, n_particles,
+                         pallas_block, pallas_interpret, pallas_precision):
+    """Fused RBF tile on local rows x gathered global cols via the same
+    streaming Pallas kernel as the single-chip path. Shared by the cold
+    and warm sharded steps."""
+    from ..ops.pallas_svgd import pallas_svgd_phi_rect
+    return pallas_svgd_phi_rect(
+        theta_loc, theta_all, grads_all, h2,
+        n_total=n_particles, block_i=pallas_block,
+        block_j=pallas_block, interpret=pallas_interpret,
+        precision=pallas_precision,
+    )
+
+
+def _clip_update_aux(state, phi, log_p_vals, h2, med, gd, max_phi_norm,
+                     axis):
+    """Shared tail of every 1-D sharded step: global Frobenius-norm clip
+    (abstract_stein_sampler.py:125, psum'd), optimizer update, aux dict.
+    Returns (new_state, aux)."""
+    theta_loc = state.particles
+    norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))
+    c = jnp.asarray(max_phi_norm, theta_loc.dtype)
+    phi = phi * (c / jnp.maximum(c, norm))
+    delta, opt_state = gd.update(state.opt_state, phi)
+    new_state = SVGDState(theta_loc + delta, opt_state, state.step + 1)
+    aux = {
+        "phi_norm": norm,
+        "log_p_mean": jax.lax.pmean(jnp.mean(log_p_vals), axis),
+        "h2": h2,
+        "median": med,
+    }
+    return new_state, aux
+
+
 def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       particle_axis="particles", median="exact",
                       max_phi_norm=10.0, donate=True,
@@ -263,7 +316,6 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     def spmd_step(state, batch):
         theta_loc = state.particles                      # [n_loc, p]
-        n_loc, p = theta_loc.shape
         log_p_vals, grads_loc = grad_all(theta_loc, batch)
         rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
 
@@ -332,26 +384,15 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             )
 
             if kernel_impl == "pallas":
-                from ..ops.pallas_svgd import pallas_svgd_phi_rect
-                phi = pallas_svgd_phi_rect(
-                    theta_loc, theta_all, grads_all, h2,
-                    n_total=n_particles, block_i=pallas_block,
-                    block_j=pallas_block, interpret=pallas_interpret,
-                    precision=pallas_precision,
+                phi = _rbf_phi_rows_pallas(
+                    theta_loc, theta_all, grads_all, h2, n_particles,
+                    pallas_block, pallas_interpret, pallas_precision,
                 )
             elif kernel is None:
-                K_rows = jnp.exp(-D_rows / h2 / 2.0)     # [n_loc, n]
-                ksum = jnp.sum(K_rows, axis=1, keepdims=True)
-                both = jnp.matmul(
-                    K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
-                    preferred_element_type=theta_loc.dtype,
-                    precision=jax.lax.Precision.HIGH,
+                phi = _rbf_phi_rows_xla(
+                    theta_loc, theta_all, grads_all, D_rows, h2,
+                    n_particles,
                 )
-                attract = both[:, :p]
-                ktheta = both[:, p:]
-                phi = (
-                    attract + (ksum * theta_loc - ktheta) / h2
-                ) / n_particles
             else:
                 # Generic weights-kernel tile: K and W differ, so the
                 # attractive and repulsive contractions cannot share one
@@ -372,20 +413,9 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                     attract + (wsum * theta_loc - wtheta)
                 ) / n_particles
 
-        # Global Frobenius-norm clip (abstract_stein_sampler.py:125).
-        norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))
-        c = jnp.asarray(max_phi_norm, theta_loc.dtype)
-        phi = phi * (c / jnp.maximum(c, norm))
-
-        delta, opt_state = gd.update(state.opt_state, phi)
-        new_state = SVGDState(theta_loc + delta, opt_state, state.step + 1)
-        aux = {
-            "phi_norm": norm,
-            "log_p_mean": jax.lax.pmean(jnp.mean(log_p_vals), axis),
-            "h2": h2,
-            "median": med,
-        }
-        return new_state, aux
+        return _clip_update_aux(
+            state, phi, log_p_vals, h2, med, gd, max_phi_norm, axis
+        )
 
     state_specs = _state_specs(state, n_particles, axis)
     aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
@@ -463,14 +493,12 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
 
     def spmd_warm_step(carry, batch):
         state, med_prev = carry
-        theta_loc = state.particles
-        n_loc, p = theta_loc.shape
+        theta_loc = state.particles                      # [n_loc, p]
         log_p_vals, grads_loc = grad_all(theta_loc, batch)
         theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
         grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
 
         if kernel_impl == "pallas":
-            from ..ops.pallas_svgd import pallas_svgd_phi_rect
             med = sharded_warm_bisect_median(
                 theta_loc, theta_all, med_prev, axis,
                 max_rows=median_max_rows, warm_passes=warm_passes,
@@ -478,11 +506,9 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             h2 = bandwidth_sq_from_median(
                 med.astype(theta_loc.dtype), n_particles
             )
-            phi = pallas_svgd_phi_rect(
-                theta_loc, theta_all, grads_all, h2,
-                n_total=n_particles, block_i=pallas_block,
-                block_j=pallas_block, interpret=pallas_interpret,
-                precision=pallas_precision,
+            phi = _rbf_phi_rows_pallas(
+                theta_loc, theta_all, grads_all, h2, n_particles,
+                pallas_block, pallas_interpret, pallas_precision,
             )
         else:
             rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
@@ -499,34 +525,14 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             h2 = bandwidth_sq_from_median(
                 med.astype(theta_loc.dtype), n_particles
             )
-            K_rows = jnp.exp(-D_rows / h2 / 2.0)     # [n_loc, n]
-            ksum = jnp.sum(K_rows, axis=1, keepdims=True)
-            both = jnp.matmul(
-                K_rows, jnp.concatenate([grads_all, theta_all], axis=1),
-                preferred_element_type=theta_loc.dtype,
-                precision=jax.lax.Precision.HIGH,
+            phi = _rbf_phi_rows_xla(
+                theta_loc, theta_all, grads_all, D_rows, h2, n_particles
             )
-            attract = both[:, :p]
-            ktheta = both[:, p:]
-            phi = (
-                attract + (ksum * theta_loc - ktheta) / h2
-            ) / n_particles
 
-        # Global Frobenius-norm clip (abstract_stein_sampler.py:125).
-        norm = jnp.sqrt(jax.lax.psum(jnp.sum(phi * phi), axis))
-        c = jnp.asarray(max_phi_norm, theta_loc.dtype)
-        phi = phi * (c / jnp.maximum(c, norm))
-
-        delta, opt_state = gd.update(state.opt_state, phi)
-        new_state = SVGDState(theta_loc + delta, opt_state, state.step + 1)
-        aux = {
-            "phi_norm": norm,
-            "log_p_mean": jax.lax.pmean(jnp.mean(log_p_vals), axis),
-            "h2": h2,
-            "median": med,
-        }
-        med_carry = med.astype(theta_loc.dtype)
-        return (new_state, med_carry), aux
+        new_state, aux = _clip_update_aux(
+            state, phi, log_p_vals, h2, med, gd, max_phi_norm, axis
+        )
+        return (new_state, med.astype(theta_loc.dtype)), aux
 
     state_specs = _state_specs(state, n_particles, axis)
     carry_specs = (state_specs, P())

@@ -273,6 +273,26 @@ def test_sharded_warm_pallas_matches_single():
 
 
 @requires_8_devices
+def test_warm_median_accepts_explicit_rbf_kernel():
+    """An explicit SquaredExponentialKernel() IS the default kernel: the
+    constructor normalises the exact type to None, so warm_median (and
+    every other RBF-only path) accepts it — on a mesh and off."""
+    from stein_tpu.kernels import SquaredExponentialKernel
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    single, sharded = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect", warm_median=True,
+        kernel=SquaredExponentialKernel(),
+    )
+    single.run(batch, 3)
+    sharded.run(batch, 3)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-9, atol=1e-12
+    )
+
+
+@requires_8_devices
 def test_warm_median_mesh_guards():
     """Still-unsupported warm combinations fail loudly: 2-D mesh, ring
     comm, non-bisect median."""
