@@ -329,10 +329,12 @@ class SVGDSampler:
         with bounded bandwidth error (~0.17*med/4^ceil(warm_passes/2) per
         step, re-verified every step so it never accumulates). Requires
         median='bisect' and the default RBF kernel; on a 1-D particle
-        mesh (comm='all_gather', either kernel_impl) the warm counts
-        psum across shards — one batched collective per quad-ary round
-        (ops/median.sharded_warm_bisect_median). Off by default so
-        run(k) stays bit-equal to k train_on_batch calls.
+        mesh (comm='all_gather', either kernel_impl) and on 2-D
+        particles x model meshes the warm counts psum across shards —
+        one batched collective per quad-ary round
+        (ops/median.sharded_warm_bisect_median and its on-D variant).
+        Off by default so run(k) stays bit-equal to k train_on_batch
+        calls.
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -454,17 +456,12 @@ class SVGDSampler:
                     "the model axis with its own XLA path"
                 )
             if warm_median:
-                if model_axis is not None:
-                    raise ValueError(
-                        "warm_median is not supported with a 2-D "
-                        "(particles x model) mesh; use a 1-D particle mesh"
-                    )
                 if median != "bisect" or kernel is not None:
                     raise ValueError(
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
                     )
-                if comm != "all_gather":
+                if model_axis is None and comm != "all_gather":
                     raise ValueError(
                         "warm_median on a mesh requires comm='all_gather' "
                         "(the warm counts run against the gathered global "
@@ -483,6 +480,20 @@ class SVGDSampler:
                         median_max_rows=median_max_rows,
                         median_passes=median_passes, kernel=kernel,
                     )
+                if warm_median:
+                    from .parallel.sharded2d import make_sharded2d_warm_step
+                    self._warm_step_fn, self._warm_init_med = \
+                        make_sharded2d_warm_step(
+                            log_p=log_p, unravel_fn=self.unravel_fn,
+                            gd=gd, n_particles=self.n_particles,
+                            n_params=self.n_params, state=state, mesh=mesh,
+                            particle_axis=particle_axis,
+                            model_axis=model_axis,
+                            max_phi_norm=max_phi_norm, remat=remat,
+                            median_max_rows=median_max_rows,
+                            median_passes=median_passes,
+                            warm_passes=warm_passes,
+                        )
             else:
                 from .parallel.sharded import make_sharded_step
                 self._step_fn, self._jit_step, self.state = \

@@ -103,118 +103,29 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
-    def spmd_step(state, batch):
-        theta_blk = state.particles                   # [n_loc, p_loc]
-        n_loc, p_loc = theta_blk.shape
-
-        # Full parameter rows for the model gradient (model-axis gather).
-        theta_rows = jax.lax.all_gather(
-            theta_blk, model_axis, axis=1, tiled=True
-        )                                             # [n_loc, p]
-        log_p_vals, grads_rows = grad_all(theta_rows, batch)
-        my_m = jax.lax.axis_index(model_axis)
-        grads_blk = jax.lax.dynamic_slice_in_dim(
-            grads_rows, my_m * p_loc, p_loc, axis=1
-        )                                             # [n_loc, p_loc]
-
-        # Column blocks: all particles, local parameter shard.
-        theta_cols = jax.lax.all_gather(
-            theta_blk, particle_axis, tiled=True
-        )                                             # [n, p_loc]
-        grads_cols = jax.lax.all_gather(
-            grads_blk, particle_axis, tiled=True
-        )                                             # [n, p_loc]
-
-        # Partial Gram/distance over the local parameter shard, psum'd over
-        # the model axis -> exact D rows (abstract_kernel.py:33-35).
-        rsq_loc = jax.lax.psum(
-            jnp.sum(theta_blk * theta_blk, axis=1), model_axis
-        )                                             # [n_loc]
-        rsq_all = jax.lax.psum(
-            jnp.sum(theta_cols * theta_cols, axis=1), model_axis
-        )                                             # [n]
-        # HIGHEST: D cancels catastrophically (see ops/rbf.pairwise_sq_dists).
-        partial_gram = jnp.matmul(
-            theta_blk, theta_cols.T,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                             # [n_loc, n]
-        gram = jax.lax.psum(partial_gram, model_axis)
-        D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
-
+    def compute_med_cold(D_rows):
         # Global median over all n^2 entries (compute_median.py:4-16):
         # row blocks live on the particle axis.
         if median == "exact":
             D_full = jax.lax.all_gather(D_rows, particle_axis, tiled=True)
-            med = jnp.median(D_full)
-        else:  # "bisect" — counts on the local D rows, psum'd over rows
-            from ..ops.median import sharded_bisect_median_on_D
-            med = sharded_bisect_median_on_D(
-                D_rows, particle_axis, max_rows=median_max_rows,
-                passes=median_passes,
-            )
-        from ..ops.rbf import bandwidth_sq_from_median
-        h2 = bandwidth_sq_from_median(med, n_particles)
-
-        if kernel is None:
-            K_rows = jnp.exp(-D_rows / h2 / 2.0)      # [n_loc, n] (replicated
-                                                      #  over model axis)
-            ksum = jnp.sum(K_rows, axis=1, keepdims=True)
-            both = jnp.matmul(
-                K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
-                preferred_element_type=theta_blk.dtype,
-                precision=jax.lax.Precision.HIGH,
-            )                                         # [n_loc, 2*p_loc]
-            attract = both[:, :p_loc]
-            ktheta = both[:, p_loc:]
-            phi = (attract + (ksum * theta_blk - ktheta) / h2) / n_particles
-        else:
-            # Generic weights-kernel path: K and W differ, so the
-            # attractive and repulsive contractions cannot share one
-            # matmul (same fp order as kernels.generic_svgd_phi). Both
-            # are [n_loc, n] @ [n, p_loc] — the model axis stays local.
-            K_rows, W_rows = kernel.weights(D_rows, h2)
-            wsum = jnp.sum(W_rows, axis=1, keepdims=True)
-            attract = jnp.matmul(
-                K_rows, grads_cols,
-                preferred_element_type=theta_blk.dtype,
-                precision=jax.lax.Precision.HIGH,
-            )
-            wtheta = jnp.matmul(
-                W_rows, theta_cols,
-                preferred_element_type=theta_blk.dtype,
-                precision=jax.lax.Precision.HIGH,
-            )
-            phi = (attract + (wsum * theta_blk - wtheta)) / n_particles
-
-        # Global clip: psum the squared Frobenius norm over BOTH axes.
-        sq = jnp.sum(phi * phi)
-        norm = jnp.sqrt(
-            jax.lax.psum(jax.lax.psum(sq, particle_axis), model_axis)
+            return jnp.median(D_full)
+        # "bisect" — counts on the local D rows, psum'd over rows.
+        from ..ops.median import sharded_bisect_median_on_D
+        return sharded_bisect_median_on_D(
+            D_rows, particle_axis, max_rows=median_max_rows,
+            passes=median_passes,
         )
-        c = jnp.asarray(max_phi_norm, theta_blk.dtype)
-        phi = phi * (c / jnp.maximum(c, norm))
 
-        delta, opt_state = gd.update(state.opt_state, phi)
-        new_state = SVGDState(theta_blk + delta, opt_state, state.step + 1)
-        aux = {
-            "phi_norm": norm,
-            "log_p_mean": jax.lax.pmean(
-                jnp.mean(log_p_vals), particle_axis
-            ),
-            "h2": h2,
-            "median": med,
-        }
-        return new_state, aux
+    def spmd_step(state, batch):
+        return _core_step_2d(
+            state, batch, compute_med_cold, grad_all=grad_all, gd=gd,
+            kernel=kernel, n_particles=n_particles,
+            particle_axis=particle_axis, model_axis=model_axis,
+            max_phi_norm=max_phi_norm,
+        )
 
-    blk = P(particle_axis, model_axis)
-    state_specs = SVGDState(
-        particles=blk,
-        opt_state=jax.tree_util.tree_map(
-            lambda leaf: blk if leaf.ndim == 2 and
-            leaf.shape == (n_particles, n_params) else P(),
-            state.opt_state,
-        ),
-        step=P(),
+    state_specs = _state_specs_2d(
+        state, n_particles, n_params, particle_axis, model_axis
     )
     aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
 
@@ -229,3 +140,201 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
     return step_fn, jitted, shard_state_2d(
         state, mesh, particle_axis, model_axis
     )
+
+
+def _state_specs_2d(state, n_particles, n_params, particle_axis,
+                    model_axis):
+    """PartitionSpecs for an SVGDState on a 2-D (particles x model) mesh."""
+    blk = P(particle_axis, model_axis)
+    return SVGDState(
+        particles=blk,
+        opt_state=jax.tree_util.tree_map(
+            lambda leaf: blk if leaf.ndim == 2 and
+            leaf.shape == (n_particles, n_params) else P(),
+            state.opt_state,
+        ),
+        step=P(),
+    )
+
+
+def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
+                  n_particles, particle_axis, model_axis, max_phi_norm):
+    """Shared body of the cold and warm 2-D steps: gathers, the psum'd
+    Gram/distance rows, ``med = compute_med(D_rows)``, the kernel tiles,
+    the two-axis clip, and the optimizer update. One copy, so the warm
+    variant cannot drift from the cold semantics."""
+    theta_blk = state.particles                   # [n_loc, p_loc]
+    n_loc, p_loc = theta_blk.shape
+
+    # Full parameter rows for the model gradient (model-axis gather).
+    theta_rows = jax.lax.all_gather(
+        theta_blk, model_axis, axis=1, tiled=True
+    )                                             # [n_loc, p]
+    log_p_vals, grads_rows = grad_all(theta_rows, batch)
+    my_m = jax.lax.axis_index(model_axis)
+    grads_blk = jax.lax.dynamic_slice_in_dim(
+        grads_rows, my_m * p_loc, p_loc, axis=1
+    )                                             # [n_loc, p_loc]
+
+    # Column blocks: all particles, local parameter shard.
+    theta_cols = jax.lax.all_gather(
+        theta_blk, particle_axis, tiled=True
+    )                                             # [n, p_loc]
+    grads_cols = jax.lax.all_gather(
+        grads_blk, particle_axis, tiled=True
+    )                                             # [n, p_loc]
+
+    # Partial Gram/distance over the local parameter shard, psum'd over
+    # the model axis -> exact D rows (abstract_kernel.py:33-35).
+    rsq_loc = jax.lax.psum(
+        jnp.sum(theta_blk * theta_blk, axis=1), model_axis
+    )                                             # [n_loc]
+    rsq_all = jax.lax.psum(
+        jnp.sum(theta_cols * theta_cols, axis=1), model_axis
+    )                                             # [n]
+    # HIGHEST: D cancels catastrophically (see ops/rbf.pairwise_sq_dists).
+    partial_gram = jnp.matmul(
+        theta_blk, theta_cols.T,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                             # [n_loc, n]
+    gram = jax.lax.psum(partial_gram, model_axis)
+    D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+
+    med = compute_med(D_rows)
+    from ..ops.rbf import bandwidth_sq_from_median
+    h2 = bandwidth_sq_from_median(med, n_particles)
+
+    if kernel is None:
+        K_rows = jnp.exp(-D_rows / h2 / 2.0)      # [n_loc, n] (replicated
+                                                  #  over model axis)
+        ksum = jnp.sum(K_rows, axis=1, keepdims=True)
+        both = jnp.matmul(
+            K_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
+            preferred_element_type=theta_blk.dtype,
+            precision=jax.lax.Precision.HIGH,
+        )                                         # [n_loc, 2*p_loc]
+        attract = both[:, :p_loc]
+        ktheta = both[:, p_loc:]
+        phi = (attract + (ksum * theta_blk - ktheta) / h2) / n_particles
+    else:
+        # Generic weights-kernel path: K and W differ, so the
+        # attractive and repulsive contractions cannot share one
+        # matmul (same fp order as kernels.generic_svgd_phi). Both
+        # are [n_loc, n] @ [n, p_loc] — the model axis stays local.
+        K_rows, W_rows = kernel.weights(D_rows, h2)
+        wsum = jnp.sum(W_rows, axis=1, keepdims=True)
+        attract = jnp.matmul(
+            K_rows, grads_cols,
+            preferred_element_type=theta_blk.dtype,
+            precision=jax.lax.Precision.HIGH,
+        )
+        wtheta = jnp.matmul(
+            W_rows, theta_cols,
+            preferred_element_type=theta_blk.dtype,
+            precision=jax.lax.Precision.HIGH,
+        )
+        phi = (attract + (wsum * theta_blk - wtheta)) / n_particles
+
+    # Global clip: psum the squared Frobenius norm over BOTH axes.
+    sq = jnp.sum(phi * phi)
+    norm = jnp.sqrt(
+        jax.lax.psum(jax.lax.psum(sq, particle_axis), model_axis)
+    )
+    c = jnp.asarray(max_phi_norm, theta_blk.dtype)
+    phi = phi * (c / jnp.maximum(c, norm))
+
+    delta, opt_state = gd.update(state.opt_state, phi)
+    new_state = SVGDState(theta_blk + delta, opt_state, state.step + 1)
+    aux = {
+        "phi_norm": norm,
+        "log_p_mean": jax.lax.pmean(
+            jnp.mean(log_p_vals), particle_axis
+        ),
+        "h2": h2,
+        "median": med,
+    }
+    return new_state, aux
+
+
+def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
+                             state, mesh, particle_axis="particles",
+                             model_axis="model", max_phi_norm=10.0,
+                             remat=False, median_max_rows=512,
+                             median_passes=30, warm_passes=8):
+    """Warm-median variant of the 2-D step for the scan loops (api.run /
+    train_on_batches): carry is (SVGDState, med_prev); the warm counts
+    run on the already-psum'd local D rows
+    (ops/median.sharded_warm_bisect_median_on_D, psum'd over the particle
+    axis only — D_rows is replicated over the model axis, so every shard
+    refines the same interval). RBF kernel only, mirroring the 1-D warm
+    step. Returns (warm_step_fn, init_med_fn)."""
+    from ..ops.median import (
+        sharded_bisect_median_on_D,
+        sharded_warm_bisect_median_on_D,
+    )
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
+
+    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def spmd_warm_step(carry, batch):
+        state, med_prev = carry
+        new_state, aux = _core_step_2d(
+            state, batch,
+            lambda D_rows: sharded_warm_bisect_median_on_D(
+                D_rows, med_prev, particle_axis,
+                max_rows=median_max_rows, warm_passes=warm_passes,
+            ),
+            grad_all=grad_all, gd=gd, kernel=None,
+            n_particles=n_particles, particle_axis=particle_axis,
+            model_axis=model_axis, max_phi_norm=max_phi_norm,
+        )
+        med_carry = aux["median"].astype(state.particles.dtype)
+        return (new_state, med_carry), aux
+
+    state_specs = _state_specs_2d(
+        state, n_particles, n_params, particle_axis, model_axis
+    )
+    carry_specs = (state_specs, P())
+    aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
+
+    warm_step_fn = jax.shard_map(
+        spmd_warm_step,
+        mesh=mesh,
+        in_specs=(carry_specs, P()),
+        out_specs=(carry_specs, aux_specs),
+        check_vma=False,
+    )
+
+    def init_spmd(theta_blk):
+        # Cold seed: the same psum'd Gram D rows the step computes.
+        theta_cols = jax.lax.all_gather(
+            theta_blk, particle_axis, tiled=True
+        )
+        rsq_loc = jax.lax.psum(
+            jnp.sum(theta_blk * theta_blk, axis=1), model_axis
+        )
+        rsq_all = jax.lax.psum(
+            jnp.sum(theta_cols * theta_cols, axis=1), model_axis
+        )
+        partial_gram = jnp.matmul(
+            theta_blk, theta_cols.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        gram = jax.lax.psum(partial_gram, model_axis)
+        D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+        return sharded_bisect_median_on_D(
+            D_rows, particle_axis, max_rows=median_max_rows,
+            passes=median_passes,
+        )
+
+    init_med_fn = jax.jit(jax.shard_map(
+        init_spmd, mesh=mesh,
+        in_specs=P(particle_axis, model_axis), out_specs=P(),
+        check_vma=False,
+    ))
+    return warm_step_fn, init_med_fn

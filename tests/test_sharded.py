@@ -294,10 +294,8 @@ def test_warm_median_accepts_explicit_rbf_kernel():
 
 @requires_8_devices
 def test_warm_median_mesh_guards():
-    """Still-unsupported warm combinations fail loudly: 2-D mesh, ring
-    comm, non-bisect median."""
-    import numpy as _np
-    from jax.sharding import Mesh
+    """Still-unsupported warm combinations fail loudly: ring comm,
+    non-bisect median."""
     theta0, model, batch = _linreg()
     mesh = particle_mesh(jax.devices()[:8])
     common = dict(
@@ -310,12 +308,6 @@ def test_warm_median_mesh_guards():
         SVGDSampler(**common, mesh=mesh, median="bisect", comm="ring")
     with pytest.raises(ValueError, match="bisect"):
         SVGDSampler(**common, mesh=mesh, median="binned")
-    devs = _np.asarray(jax.devices()[:8]).reshape(4, 2)
-    with pytest.raises(ValueError, match="2-D"):
-        SVGDSampler(
-            **common, mesh=Mesh(devs, ("particles", "model")),
-            model_axis="model", median="bisect",
-        )
 
 
 @requires_8_devices

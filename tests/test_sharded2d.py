@@ -124,6 +124,37 @@ def test_2d_bisect_median_matches_single_device():
 
 
 @requires_8_devices
+def test_2d_warm_median_matches_single_warm():
+    """warm_median on a 2-D mesh: run()'s scan carries the previous
+    median; the warm counts run on the psum'd local D rows
+    (sharded_warm_bisect_median_on_D over the particle axis). Tracks the
+    single-chip warm trajectory to the same tolerance as the cold 2-D
+    bisect path (the split-Gram psum reorders the D reduction)."""
+    theta0, model, batch = _setup()
+    n, p = theta0.shape
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, median="bisect",
+        warm_median=True, warm_passes=8,
+    )
+    single = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    sharded = SVGDSampler(
+        gd=Adam(learning_rate=1e-1), mesh=_mesh_4x2(), model_axis="model",
+        **common,
+    )
+    aux_s = single.run(batch, 6)
+    aux_m = sharded.run(batch, 6)
+    np.testing.assert_allclose(
+        sharded.samples, single.samples, rtol=1e-6, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_m["median"]), np.asarray(aux_s["median"]),
+        rtol=1e-9,
+    )
+
+
+@requires_8_devices
 def test_2d_exact_median_gather_guard():
     """median='exact' on a 2-D mesh refuses the n^2 all-gather beyond the
     per-device limit, pointing at 'bisect'."""
