@@ -171,3 +171,48 @@ ksd_val = sampler.ksd(batch)
 assert np.isfinite(ksd_val)
 
 print(f"MULTIHOST-OK-{pid}", flush=True)
+
+# Warm median + the streaming Pallas tile across processes: the warm
+# bracket/round counts psum over a particle axis that spans both
+# processes, and the rect Pallas kernel (interpret mode on these fake
+# CPU devices) consumes the cross-process gathered column block.
+warm_p = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+    dtype=jnp.float64, mesh=mesh, median="bisect", warm_median=True,
+    warm_passes=8, kernel_impl="pallas", pallas_interpret=True,
+)
+warm_p.run(batch, 4)
+warm_ref = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta0),
+    dtype=jnp.float64, median="bisect", warm_median=True,
+    warm_passes=8, kernel_impl="pallas", pallas_interpret=True,
+)
+warm_ref.run(ref_batch, 4)
+np.testing.assert_allclose(
+    warm_p.samples, warm_ref.samples, rtol=1e-6, atol=1e-9
+)
+
+# Warm median on the cross-process 2-D mesh: the warm counts run on the
+# D rows whose Gram psum already crossed the process boundary.
+s2d_warm = SVGDSampler(
+    n_particles=16, log_p=model8.log_p,
+    param_template=model8.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta8),
+    dtype=jnp.float64, mesh=mesh2d, model_axis="model",
+    median="bisect", warm_median=True, warm_passes=8,
+)
+s2d_warm.run(batch8, 4)
+ref2d_warm = SVGDSampler(
+    n_particles=16, log_p=model8.log_p,
+    param_template=model8.template(jnp.float64),
+    gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta8),
+    dtype=jnp.float64, median="bisect", warm_median=True, warm_passes=8,
+)
+ref2d_warm.run(ref_batch8, 4)
+np.testing.assert_allclose(
+    s2d_warm.samples, ref2d_warm.samples, rtol=1e-6, atol=1e-9
+)
