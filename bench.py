@@ -116,11 +116,15 @@ def main():
                            # slow TPU primitive; see ops/median.py)
         median_passes=16,  # bandwidth to ~1e-4 relative: ample for the
                            # heuristic, halves the dominant sequential cost
-        warm_median=True,  # scan-carried warm bisect: ~0.07% bandwidth
-                           # error bound, re-verified every step
+        warm_median=True,  # scan-carried warm bisect: bounded bandwidth
+                           # error, re-verified every step
                            # (ops/median.warm_bisect_median); the
                            # sequential count kernels dominate at this n
-        warm_passes=8,
+        warm_passes=6,     # sweep (benchmarks/warm_passes_sweep.py):
+                           # 3 quad rounds = 55.3 vs 58.6 us at 4 rounds
+                           # for 0.11% vs 0.08% median error; 2 rounds
+                           # saves 3.6 us more but costs 1% bandwidth
+                           # error — not taken
     )
 
     # Config 2: n=10240, Pallas streaming kernel + bisect median
