@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--median-passes", type=int, default=16)
     ap.add_argument("--warm", action="store_true",
                     help="warm-started median across scanned steps")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the particle axis over all local devices "
+                         "(kernel tiles, median counts, and the clip "
+                         "norm run as collectives; use --median bisect "
+                         "or binned — the sharded step has no "
+                         "'subsample' mode and guards large-n 'exact')")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -52,6 +58,11 @@ def main():
     y = X @ w_true + rng.normal(size=(args.n_obs, 1)) * 0.5
     model = LinearRegressionModel(args.n_feats)
     batch = {"X": jnp.asarray(X, jnp.float32), "y": jnp.asarray(y, jnp.float32)}
+
+    mesh_kwargs = {}
+    if args.mesh:
+        from stein_tpu.parallel import particle_mesh
+        mesh_kwargs["mesh"] = particle_mesh()
 
     sampler = SVGDSampler(
         n_particles=args.n_particles,
@@ -63,6 +74,7 @@ def main():
         median=args.median,
         median_passes=args.median_passes,
         warm_median=args.warm,
+        **mesh_kwargs,
     )
 
     # Warmup compiles the scan at the exact chunk length used below (a
@@ -85,7 +97,8 @@ def main():
     print(f"{steps} steps of n={args.n_particles} particles in {dt:.2f}s "
           f"-> {steps / dt:.1f} steps/s, "
           f"{args.n_particles * steps / dt / 1e6:.1f}M particle-updates/s "
-          f"[{args.kernel_impl}/{args.median}]")
+          f"[{args.kernel_impl}/{args.median}"
+          f"{f'/mesh{jax.device_count()}' if args.mesh else ''}]")
 
     # Conjugate posterior check.
     A = X.T @ X + np.eye(args.n_feats)

@@ -106,6 +106,20 @@ def test_large_particle_posterior_and_throughput(capsys, monkeypatch):
     assert mean_err < 0.2, err_line
 
 
+def test_large_particle_mesh_flag(capsys, monkeypatch):
+    """--mesh shards the particle axis over the (fake CPU) devices; the
+    posterior check must still pass and the banner must name the mesh."""
+    out = _run(
+        "examples/large_particle.py",
+        ["--n-particles", "64", "--n-feats", "4", "--n-obs", "50",
+         "--n-iters", "301", "--chunk", "50", "--kernel-impl", "xla",
+         "--mesh"],
+        capsys, monkeypatch)
+    assert "/mesh" in _line(out, "250 steps")
+    mean_err = _floats(_line(out, "posterior mean max-abs-err"))[0]
+    assert mean_err < 0.2
+
+
 def test_gaussian_mixture_captures_all_modes(capsys, monkeypatch):
     """The multimodality demo: particles must populate ALL modes with
     roughly the right mass (SVGD's defining property; a point-estimate

@@ -213,6 +213,46 @@ def test_f32_pallas_step_matches_f64_oracle():
     _assert_trajectory_close(got, ref, amb, "pallas", bound=5e-3)
 
 
+def test_sharded_pallas_bitwise_vs_single_chip():
+    """The Mosaic-COMPILED sharded Pallas path (kernel_impl='pallas'
+    inside shard_map) on a 1-device mesh must be bitwise identical to
+    the single-chip Pallas step — identical tile shapes and traversal
+    order — both cold and warm. (The multi-device layouts are pinned by
+    the CPU interpret-mode equality tests; this covers the compiled
+    kernel-in-shard_map path the interpreter cannot.)"""
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.parallel import particle_mesh
+
+    X, y, theta0 = _linreg_problem(seed=2, n_particles=256, n_feats=128)
+    model = LinearRegressionModel(X.shape[1])
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    for warm in (False, True):
+        common = dict(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(), median="bisect",
+            median_passes=40, kernel_impl="pallas", pallas_block=128,
+            theta=jnp.asarray(theta0, jnp.float32),
+            warm_median=warm,
+        )
+        single = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+        sharded = SVGDSampler(
+            gd=Adam(learning_rate=1e-1),
+            mesh=particle_mesh(jax.devices()[:1]), **common,
+        )
+        single.run(batch, 4)
+        sharded.run(batch, 4)
+        err = np.max(np.abs(sharded.samples - single.samples))
+        label = "warm" if warm else "cold"
+        print(f"[fidelity] sharded-pallas-{label}: max abs {err:.3e}")
+        assert err == 0.0, (
+            f"sharded {label} Pallas step deviates from single-chip by "
+            f"{err:.3e} on a 1-device mesh (expected bitwise identity)"
+        )
+
+
 def _numpy_sq_dists(theta):
     r = np.sum(theta * theta, axis=1, keepdims=True)
     return r + r.T - 2.0 * theta @ theta.T
