@@ -60,7 +60,38 @@ def bench_numpy(X, y, theta0):
     return (time.perf_counter() - t0) / NP_STEPS
 
 
-def bench_jax(X, y, theta0, K=200, R=4, reps=3, **sampler_kwargs):
+def slope_time(sampler, batch, K=200, R=4, reps=3):
+    """Per-step time of ``sampler.run(batch, K)`` by the two-count slope.
+
+    One dispatch per K steps (lax.scan) — the TPU-native loop shape.
+    On a tunneled device, block_until_ready is unreliable and a host
+    fetch has a large fixed RTT, so we time (1 dispatch + fetch) vs
+    (R dispatches + fetch) of the SAME compiled scan and take the
+    slope — the fixed fetch cost cancels, per-dispatch overhead is part
+    of honest throughput, and only one scan length compiles (remote
+    compiles cost minutes here). The numerator (R-1)*K*step must
+    dominate the tunnel's 30-110 ms fetch-RTT variance (see main()).
+    The single timing methodology for every benchmarks/ script."""
+    sampler.run(batch, K)                       # compile once
+    np.asarray(sampler.state.particles)
+
+    def timed(n_dispatches):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_dispatches):
+                sampler.run(batch, K)
+            np.asarray(sampler.state.particles)  # forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tR = timed(R)
+    return max(tR - t1, 1e-9) / ((R - 1) * K)
+
+
+def make_sampler(X, y, theta0, **sampler_kwargs):
+    """The benchmark workload: p=128 Bayesian linear regression."""
     import jax.numpy as jnp
     from stein_tpu import SVGDSampler, Adam
     from stein_tpu.models import LinearRegressionModel
@@ -76,29 +107,12 @@ def bench_jax(X, y, theta0, K=200, R=4, reps=3, **sampler_kwargs):
         theta=jnp.asarray(theta0, jnp.float32),
         **sampler_kwargs,
     )
-    # One dispatch per K steps (lax.scan) — the TPU-native loop shape.
-    # Timing uses a two-count slope: on a tunneled device,
-    # block_until_ready is unreliable and a host fetch has a large fixed
-    # RTT, so we time (1 dispatch + fetch) vs (R dispatches + fetch) of
-    # the SAME compiled scan and take the slope — the fixed fetch cost
-    # cancels, per-dispatch overhead is part of honest throughput, and
-    # only one scan length compiles (remote compiles cost minutes here).
-    sampler.run(batch, K)                       # compile once
-    np.asarray(sampler.state.particles)
+    return sampler, batch
 
-    def timed(n_dispatches, reps=reps):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(n_dispatches):
-                sampler.run(batch, K)
-            np.asarray(sampler.state.particles)  # forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    t1 = timed(1)
-    tR = timed(R)
-    return max(tR - t1, 1e-9) / ((R - 1) * K)
+def bench_jax(X, y, theta0, K=200, R=4, reps=3, **sampler_kwargs):
+    sampler, batch = make_sampler(X, y, theta0, **sampler_kwargs)
+    return slope_time(sampler, batch, K=K, R=R, reps=reps)
 
 
 def main():

@@ -157,6 +157,27 @@ def _state_specs_2d(state, n_particles, n_params, particle_axis,
     )
 
 
+def _d_rows_2d(theta_blk, theta_cols, model_axis):
+    """Exact [n_loc, n] squared-distance rows on a 2-D mesh: partial
+    row-norms/Gram over the local parameter shard, psum'd over the model
+    axis (abstract_kernel.py:33-35). One copy shared by the step body and
+    the warm-median cold seed, so the seed is computed on the identical D
+    the step re-verifies against. HIGHEST on the Gram: D cancels
+    catastrophically (see ops/rbf.pairwise_sq_dists)."""
+    rsq_loc = jax.lax.psum(
+        jnp.sum(theta_blk * theta_blk, axis=1), model_axis
+    )                                             # [n_loc]
+    rsq_all = jax.lax.psum(
+        jnp.sum(theta_cols * theta_cols, axis=1), model_axis
+    )                                             # [n]
+    partial_gram = jnp.matmul(
+        theta_blk, theta_cols.T,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                             # [n_loc, n]
+    gram = jax.lax.psum(partial_gram, model_axis)
+    return rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+
+
 def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
                   n_particles, particle_axis, model_axis, max_phi_norm):
     """Shared body of the cold and warm 2-D steps: gathers, the psum'd
@@ -184,21 +205,7 @@ def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
         grads_blk, particle_axis, tiled=True
     )                                             # [n, p_loc]
 
-    # Partial Gram/distance over the local parameter shard, psum'd over
-    # the model axis -> exact D rows (abstract_kernel.py:33-35).
-    rsq_loc = jax.lax.psum(
-        jnp.sum(theta_blk * theta_blk, axis=1), model_axis
-    )                                             # [n_loc]
-    rsq_all = jax.lax.psum(
-        jnp.sum(theta_cols * theta_cols, axis=1), model_axis
-    )                                             # [n]
-    # HIGHEST: D cancels catastrophically (see ops/rbf.pairwise_sq_dists).
-    partial_gram = jnp.matmul(
-        theta_blk, theta_cols.T,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                             # [n_loc, n]
-    gram = jax.lax.psum(partial_gram, model_axis)
-    D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+    D_rows = _d_rows_2d(theta_blk, theta_cols, model_axis)
 
     med = compute_med(D_rows)
     from ..ops.rbf import bandwidth_sq_from_median
@@ -315,18 +322,7 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
         theta_cols = jax.lax.all_gather(
             theta_blk, particle_axis, tiled=True
         )
-        rsq_loc = jax.lax.psum(
-            jnp.sum(theta_blk * theta_blk, axis=1), model_axis
-        )
-        rsq_all = jax.lax.psum(
-            jnp.sum(theta_cols * theta_cols, axis=1), model_axis
-        )
-        partial_gram = jnp.matmul(
-            theta_blk, theta_cols.T,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        gram = jax.lax.psum(partial_gram, model_axis)
-        D_rows = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+        D_rows = _d_rows_2d(theta_blk, theta_cols, model_axis)
         return sharded_bisect_median_on_D(
             D_rows, particle_axis, max_rows=median_max_rows,
             passes=median_passes,
