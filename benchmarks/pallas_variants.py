@@ -38,7 +38,8 @@ P = 128
 
 def _tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
                  gt_j_ref, both_ref, ksum_ref, *, use_exp2,
-                 use_recip=False, skip_mask=False):
+                 use_recip=False, skip_mask=False, ablate=None,
+                 contract_bf16=False):
     j = pl.program_id(1)
     n_valid = n_ref[0]
     bj = gt_j_ref.shape[0]
@@ -50,14 +51,23 @@ def _tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
 
     theta_i = theta_i_ref[:]
     p = theta_i.shape[1]
-    theta_j = gt_j_ref[:, p:]
-    D = (
-        rsq_i_ref[:]
-        + rsq_j_ref[:].reshape(1, bj)
-        - 2.0 * jnp.dot(theta_i, theta_j.T,
-                        preferred_element_type=jnp.float32)
-    )
-    if use_recip:
+    theta_j = gt_j_ref[:, p:].astype(jnp.float32)
+    if ablate == "gram":
+        # Diagnostic ONLY (wrong result): skip the Gram matmul to isolate
+        # its share of the tile time.
+        D = rsq_i_ref[:] + rsq_j_ref[:].reshape(1, bj)
+    else:
+        D = (
+            rsq_i_ref[:]
+            + rsq_j_ref[:].reshape(1, bj)
+            - 2.0 * jnp.dot(theta_i, theta_j.T,
+                            preferred_element_type=jnp.float32)
+        )
+    if ablate == "exp":
+        # Diagnostic ONLY (wrong result): replace exp2 with a multiply to
+        # isolate the transcendental's share.
+        K = D * (1.0 / h2_ref[0])
+    elif use_recip:
         # Fold 1/h2 into a per-tile SCALAR so the per-element path is a
         # single multiply before exp2 (no per-element division).
         c = (-1.4426950408889634 / 2.0) / h2_ref[0]
@@ -70,16 +80,34 @@ def _tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
     if not skip_mask:
         col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
         K = jnp.where(col < n_valid, K, 0.0)
-    both_ref[:] += jnp.dot(K, gt_j_ref[:],
-                           preferred_element_type=jnp.float32)
+    if ablate == "contract":
+        # Diagnostic ONLY (wrong result): drop the big contraction.
+        both_ref[:] += K[:, :1] * gt_j_ref[:1, :].astype(jnp.float32)
+    elif contract_bf16:
+        # Mixed-precision candidate: Gram/D/exp stay f32, only the big
+        # [B,B]x[B,2p] contraction drops input precision. NOTE: explicit
+        # .astype(bfloat16) casts before the dot are FOLDED AWAY by
+        # Mosaic (measured: bitwise-identical output and timing to the
+        # f32 dot — 2026-08-17), so the request must go through the
+        # dot's precision attribute instead.
+        both_ref[:] += jax.lax.dot_general(
+            K, gt_j_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        both_ref[:] += jnp.dot(K, gt_j_ref[:],
+                               preferred_element_type=jnp.float32)
     ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "use_exp2", "semantics",
-                                    "use_recip", "skip_mask"))
+                                    "use_recip", "skip_mask", "ablate",
+                                    "contract_bf16"))
 def variant_phi(theta, grads, h2, block=1024, use_exp2=False,
-                semantics=False, use_recip=False, skip_mask=False):
+                semantics=False, use_recip=False, skip_mask=False,
+                ablate=None, contract_bf16=False):
     n, p = theta.shape
     f32 = jnp.float32
     bi = bj = block
@@ -97,7 +125,8 @@ def variant_phi(theta, grads, h2, block=1024, use_exp2=False,
         )
     both, ksum = pl.pallas_call(
         functools.partial(_tile_kernel, use_exp2=use_exp2,
-                          use_recip=use_recip, skip_mask=skip_mask),
+                          use_recip=use_recip, skip_mask=skip_mask,
+                          ablate=ablate, contract_bf16=contract_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -162,21 +191,25 @@ def main():
 
     variants = [
         ("blk1024_exp2", dict(block=1024, use_exp2=True)),
-        # VPU-op-count attack: the tile is exp/VPU-bound, so shave
-        # per-element ops — fold 1/h2 into a per-tile scalar (drops a
-        # per-element divide) and drop the padded-column mask when n is
-        # block-aligned (iota + compare + select = 3 ops/element; n=10240
-        # IS aligned to 1024).
-        ("blk1024_recip", dict(block=1024, use_recip=True)),
-        ("blk1024_nomask", dict(block=1024, use_exp2=True,
-                                skip_mask=True)),
-        ("blk1024_recip_nomask", dict(block=1024, use_recip=True,
-                                      skip_mask=True)),
-        # ("blk2048", dict(block=2048)) fails to compile on this chip:
-        # remote_compile HTTP 500 (tpu_compile_helper exit 1) — VMEM
-        # overflow for the 2048x2048 f32 tile + 2048x256 operands.
-        # Earlier sweep (same harness): base-exp 0.478/0.481 ms,
-        # semantics hint no effect, exp2 0.459/0.424 ms (adopted).
+        # Component ablations (results are WRONG on purpose — they time
+        # the tile with one stage removed to attribute the 0.45 ms):
+        ("ablate_gram", dict(block=1024, use_exp2=True, ablate="gram")),
+        ("ablate_exp", dict(block=1024, ablate="exp")),
+        ("ablate_contract", dict(block=1024, use_exp2=True,
+                                 ablate="contract")),
+        # Mixed-precision candidate: ONLY the big contraction at
+        # Precision.DEFAULT (1-pass bf16 inputs); Gram/D/exp stay f32.
+        # (An earlier probe tried explicit bf16 casts before the dot —
+        # Mosaic folded them away: bitwise-identical output + timing.)
+        ("contract_prec_default", dict(block=1024, use_exp2=True,
+                                       contract_bf16=True)),
+        # Earlier sweeps (same harness):
+        # - base-exp 0.478/0.481 ms; semantics hint no effect; exp2
+        #   0.459/0.424 ms (adopted); blk2048 fails to compile (VMEM
+        #   overflow, remote_compile HTTP 500).
+        # - recip-hoist 0.490/0.482 (slower), nomask 0.457/0.454 (no
+        #   effect), both 0.505/0.467 (no gain) — VPU op shaving doesn't
+        #   move an exp-bound tile.
     ]
     for name, kw in variants:
         try:
@@ -190,11 +223,14 @@ def main():
                     return t + 1e-6 * phi, None
                 t, _ = jax.lax.scan(body, theta, None, length=K)
                 return t
-            dt = slope_time(run, theta0, K)
-            dt2 = slope_time(run, theta0, K)   # independent re-measure
+            # Three independent measures: the tunnel's run-to-run spread
+            # reached 17% on one batch even at a ~1 s numerator, so single
+            # readings cannot rank <10% differences.
+            dts = sorted(slope_time(run, theta0, K) for _ in range(3))
             print(json.dumps({
                 "bench": "pallas_variant", "variant": name,
-                "ms": round(dt * 1e3, 4), "ms2": round(dt2 * 1e3, 4),
+                "ms_med": round(dts[1] * 1e3, 4),
+                "ms_all": [round(d * 1e3, 4) for d in dts],
                 "rel_err_vs_shipped": float(err),
             }), flush=True)
         except Exception as e:  # noqa: BLE001 (VMEM overflow etc.)

@@ -4,12 +4,14 @@ rounds trade bounded bandwidth error (~0.17*med/4^rounds per step,
 re-verified every step) for step time.
 
 Two error metrics per setting:
-- median_rel_err_per_step: max over a 200-step run of
-  |warm_med_t - cold_med(particles_t)| / cold_med — the warm search vs
-  the 16-pass cold bisect on the SAME particle set at the SAME strided
-  row subsample. This is the apples-to-apples number the theory bound
-  0.17/4^rounds applies to (the bound is per-search, not
-  per-trajectory).
+- median_rel_err_per_step: max over a 200-step PRODUCTION-REGIME run
+  (the (state, med) carry maintained across steps, exactly as inside
+  api.run's scan) of |warm_med_t - exact_med(subsample_t)| /
+  exact_med — the warm search vs jnp.median of the SAME strided row
+  block of the SAME particles. The reference must be exact: an earlier
+  version of this sweep compared against the 16-pass cold bisect, whose
+  own midpoint error (range/4^8/2, with range(D) >> med) dominated the
+  comparison and made the warm numbers look ~10x worse than they are.
 - samples_rel_dev_at_200: end-of-run particle deviation vs the
   cold-bisect trajectory. This is chaotic amplification of the tiny
   per-step bandwidth differences, NOT posterior error (the statistical
@@ -31,9 +33,36 @@ from stein_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
+import jax.numpy as jnp
 
 from bench import make_data, make_sampler, slope_time
-from stein_tpu.ops.median import bisect_median
+from stein_tpu.ops.median import row_subsample_block
+
+
+def exact_subsample_median(theta, max_rows=512):
+    """jnp.median of the SAME strided row block the warm search counts."""
+    return jnp.median(row_subsample_block(theta, max_rows))
+
+
+def per_step_error(X, y, theta0, wp, n_steps=200, **base):
+    """Max per-step warm-search error in the production carry regime:
+    drive the SAME warm step function the benchmarked sampler scans
+    (sampler internals — this is the one trajectory the timing below
+    measures), keeping the (state, med) carry across single steps."""
+    s, batch = make_sampler(X, y, theta0, warm_median=True,
+                            warm_passes=wp, **base)
+    step = jax.jit(s._warm_step_fn)
+    ref_med = jax.jit(exact_subsample_median)
+
+    med0 = s._warm_init_med(s.state.particles).astype(jnp.float32)
+    carry = (s.state, med0)
+    max_rel = 0.0
+    for _ in range(n_steps):
+        exact = float(ref_med(carry[0].particles))
+        carry, aux = step(carry, batch)
+        warm = float(aux["median"])
+        max_rel = max(max_rel, abs(warm - exact) / max(abs(exact), 1e-30))
+    return max_rel
 
 
 def main():
@@ -46,26 +75,11 @@ def main():
     ref, batch = make_sampler(X, y, theta0, **base)
     ref.run(batch, 200)
 
-    cold_med = jax.jit(lambda th: bisect_median(th, max_rows=512,
-                                                passes=16))
-
     for wp in (8, 6, 4):
+        max_rel = per_step_error(X, y, theta0, wp, **base)
         s, batch = make_sampler(X, y, theta0, warm_median=True,
                                 warm_passes=wp, **base)
-        # Per-step warm-search error on identical particles: aux["median"]
-        # of a 1-step run is the warm median computed on the PRE-step
-        # particles — compare it against the cold bisect of that same set.
-        max_rel = 0.0
-        for _ in range(200):
-            # Host snapshot: the jitted step donates the state buffers, so
-            # the device array is deleted once run() executes.
-            pre = np.asarray(s.state.particles)
-            aux = s.run(batch, 1)
-            warm_med = float(np.asarray(aux["median"])[-1])
-            ref_med = float(cold_med(jax.numpy.asarray(pre)))
-            max_rel = max(
-                max_rel, abs(warm_med - ref_med) / max(abs(ref_med), 1e-30)
-            )
+        s.run(batch, 200)
         samp_rel = float(
             np.max(np.abs(s.samples - ref.samples))
             / max(np.max(np.abs(ref.samples)), 1e-30)
@@ -76,7 +90,7 @@ def main():
             "step_us": round(us, 2),
             "median_rel_err_per_step": round(max_rel, 8),
             "samples_rel_dev_at_200": round(samp_rel, 8),
-        }))
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -152,20 +152,40 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
 
 def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
                      median_passes=30, warm_passes=8, pallas_block=512,
-                     pallas_interpret=False, pallas_precision="f32"):
+                     pallas_interpret=False, pallas_precision="f32",
+                     median_impl="xla"):
     """phi_fn variant threading the previous step's median through the
     scan: phi_fn(theta, grads, med_prev) -> (phi, aux); aux['median'] is
     the hint for the next step (ops/median.warm_bisect_median, branchless).
     The returned function carries ``init_med(theta)`` — a full cold bisect
     used to seed the scan carry, so the in-scan warm search never runs
-    from a cold (full-range) interval."""
+    from a cold (full-range) interval.
+
+    ``median_impl="fused"`` runs the whole warm search in ONE Pallas
+    kernel on the VMEM-resident distance block instead of 1 + rounds
+    sequential XLA count kernels (bitwise the same result —
+    ops/pallas_median.fused_warm_median_rows); the sequential kernels
+    measure ~40% of the n=1000 step (benchmarks/step_breakdown.py)."""
     from .ops.median import warm_bisect_median
 
-    def compute_med(theta, med_prev):
-        return warm_bisect_median(
-            theta, med_prev, max_rows=median_max_rows,
-            warm_passes=warm_passes,
-        )
+    if median_impl not in ("xla", "fused"):
+        raise ValueError(f"unknown median_impl: {median_impl!r}")
+
+    if median_impl == "fused":
+        from .ops.median import row_subsample_block
+        from .ops.pallas_median import fused_warm_median_rows
+
+        def compute_med(theta, med_prev):
+            return fused_warm_median_rows(
+                row_subsample_block(theta, median_max_rows), med_prev,
+                warm_passes=warm_passes, interpret=pallas_interpret,
+            )
+    else:
+        def compute_med(theta, med_prev):
+            return warm_bisect_median(
+                theta, med_prev, max_rows=median_max_rows,
+                warm_passes=warm_passes,
+            )
 
     def init_med(theta):
         return bisect_median(
@@ -189,15 +209,25 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
 
     def phi_fn(theta, grads, med_prev):
         # XLA path: run the warm search on the D the kernel materialises
-        # anyway (ops/median.warm_bisect_median_on_D).
-        from .ops.median import warm_bisect_median_on_D
-        return rbf.svgd_phi(
-            theta, grads,
-            median_fn=lambda D: warm_bisect_median_on_D(
-                D, med_prev, max_rows=median_max_rows,
-                warm_passes=warm_passes,
-            ),
-        )
+        # anyway (ops/median.warm_bisect_median_on_D — or its single-
+        # Pallas-kernel twin on the same strided rows).
+        from .ops.median import _strided_rows, warm_bisect_median_on_D
+
+        if median_impl == "fused":
+            from .ops.pallas_median import fused_warm_median_rows
+
+            def median_fn(D):
+                return fused_warm_median_rows(
+                    _strided_rows(D, median_max_rows), med_prev,
+                    warm_passes=warm_passes, interpret=pallas_interpret,
+                )
+        else:
+            def median_fn(D):
+                return warm_bisect_median_on_D(
+                    D, med_prev, max_rows=median_max_rows,
+                    warm_passes=warm_passes,
+                )
+        return rbf.svgd_phi(theta, grads, median_fn=median_fn)
     phi_fn.init_med = init_med
     return phi_fn
 
@@ -335,6 +365,14 @@ class SVGDSampler:
         (ops/median.sharded_warm_bisect_median and its on-D variant).
         Off by default so run(k) stays bit-equal to k train_on_batch
         calls.
+    median_impl : "xla" (default) | "fused" — implementation of the warm
+        search. "fused" runs the whole bracket + quad-ary search in ONE
+        Pallas kernel on the VMEM-resident distance block
+        (ops/pallas_median.fused_warm_median_rows) instead of 1 + rounds
+        sequential XLA count kernels; bitwise the same medians. The
+        sequential kernels are ~40% of the n=1000 step
+        (benchmarks/step_breakdown.py). Requires warm_median=True;
+        single-device only (the mesh warm search psums across shards).
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -345,7 +383,7 @@ class SVGDSampler:
                  model_axis=None, comm="all_gather", remat=False,
                  kernel=None, binned_bins=4096, binned_block_rows=256,
                  median_passes=30, warm_median=False, warm_passes=8,
-                 pallas_precision="f32"):
+                 pallas_precision="f32", median_impl="xla"):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -423,6 +461,20 @@ class SVGDSampler:
             # search (~2x step time at small n). Off by default so
             # run(k) stays bit-equal to k train_on_batch calls.
             self._warm_step_fn = None
+            if median_impl not in ("xla", "fused"):
+                raise ValueError(f"unknown median_impl: {median_impl!r}")
+            if median_impl == "fused" and not warm_median:
+                raise ValueError(
+                    "median_impl='fused' accelerates the warm-median scan "
+                    "path; set warm_median=True (the cold bisect stays XLA)"
+                )
+            if median_impl == "fused" and dtype != jnp.float32:
+                raise ValueError(
+                    "median_impl='fused' is f32-only (the kernel's bitwise "
+                    "contract with the XLA search holds for f32, the only "
+                    "TPU-native float); use median_impl='xla' with "
+                    f"dtype={dtype}"
+                )
             if warm_median:
                 if median != "bisect" or kernel is not None:
                     raise ValueError(
@@ -437,6 +489,7 @@ class SVGDSampler:
                     pallas_block=pallas_block,
                     pallas_interpret=pallas_interpret,
                     pallas_precision=pallas_precision,
+                    median_impl=median_impl,
                 )
                 self._warm_step_fn = make_warm_step_fn(
                     log_p, self.unravel_fn, gd, warm_phi,
@@ -454,6 +507,14 @@ class SVGDSampler:
                     "kernel_impl='pallas' is supported on 1-D particle "
                     "meshes only; the 2-D (particles x model) step tiles "
                     "the model axis with its own XLA path"
+                )
+            if median_impl not in ("xla", "fused"):
+                raise ValueError(f"unknown median_impl: {median_impl!r}")
+            if median_impl == "fused":
+                raise ValueError(
+                    "median_impl='fused' is single-device only (the mesh "
+                    "warm search psums counts across shards; the fused "
+                    "kernel cannot contain a collective)"
                 )
             if warm_median:
                 if median != "bisect" or kernel is not None:

@@ -49,21 +49,29 @@ def _row_block_sq_dists(theta_rows, theta, rowsq_rows, rowsq):
     )
 
 
+def row_subsample_block(theta, max_rows=512):
+    """THE single-device strided-row distance block: D[idx, :] for the
+    deterministic subset idx = arange(max_rows) * (n // max_rows) (all
+    rows when n <= max_rows). One copy of the subsample policy, shared by
+    every single-device median entry point (and api's fused warm path),
+    so they provably count bitwise the same values — the single-device
+    analogue of _local_row_idx."""
+    n = theta.shape[0]
+    rowsq = jnp.sum(theta * theta, axis=1)
+    if n <= max_rows:
+        return _row_block_sq_dists(theta, theta, rowsq, rowsq)
+    stride = n // max_rows
+    idx = jnp.arange(max_rows) * stride
+    return _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+
+
 def subsampled_sq_dist_median(theta, max_rows=512):
     """Exact median of the squared-distance sub-matrix D[idx, :] for a
     deterministic strided row subset idx. Never materialises full D.
 
     For max_rows >= n this equals the exact full median.
     """
-    n = theta.shape[0]
-    rowsq = jnp.sum(theta * theta, axis=1)
-    if n <= max_rows:
-        D = _row_block_sq_dists(theta, theta, rowsq, rowsq)
-        return jnp.median(D)
-    stride = n // max_rows
-    idx = jnp.arange(max_rows) * stride
-    D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
-    return jnp.median(D)
+    return jnp.median(row_subsample_block(theta, max_rows))
 
 
 def _strided_rows(D, max_rows):
@@ -109,14 +117,7 @@ def bisect_median(theta, max_rows=512, passes=30):
     ~10% slower at n=1000 and neutral at n=10k — the wide broadcast costs
     more than the extra scalar-latency iterations save.)
     """
-    n = theta.shape[0]
-    rowsq = jnp.sum(theta * theta, axis=1)
-    if n <= max_rows:
-        D = _row_block_sq_dists(theta, theta, rowsq, rowsq)
-    else:
-        stride = n // max_rows
-        idx = jnp.arange(max_rows) * stride
-        D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+    D = row_subsample_block(theta, max_rows)
 
     lo0 = jnp.minimum(jnp.min(D), 0.0)
     hi0 = jnp.max(D)
@@ -319,9 +320,12 @@ def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
       [min(D), max(D)]          (no hint / wild jump)
 
     followed by ceil(warm_passes/2) quad-ary rounds (2 bits per sequential
-    kernel, like _bisect_search). Per-step error is bounded by
-    width/4^rounds: ~0.17*med/4^4 = 0.004% warm, ~6% on a rare wide-bracket
-    step, range/4^rounds on a true cold start — callers that scan
+    kernel, like _bisect_search). Per-step error is bounded by the final
+    interval width, width0/4^rounds: ~0.17*med/4^4 = 0.066% of med warm
+    (measured 0.05-0.13% max per step at warm_passes=6, production carry
+    regime — benchmarks/warm_passes_sweep.py), ~1.5% on a rare
+    wide-bracket step, range/4^rounds on a true cold start — callers that
+    scan
     (api.run / train_on_batches) seed the carry with a full cold
     bisect_median of the initial particles, so the cold fallback only
     fires after a >4x single-step median jump. The brackets are
@@ -333,14 +337,7 @@ def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
     kernels vs 1+ceil(passes/2) for the cold search is a ~2x median-cost
     lever (benchmarks/RESULTS.md).
     """
-    n = theta.shape[0]
-    rowsq = jnp.sum(theta * theta, axis=1)
-    if n <= max_rows:
-        D = _row_block_sq_dists(theta, theta, rowsq, rowsq)
-    else:
-        stride = n // max_rows
-        idx = jnp.arange(max_rows) * stride
-        D = _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
+    D = row_subsample_block(theta, max_rows)
     return _warm_search(D, med_prev, warm_passes, bracket, bracket_wide)
 
 

@@ -1,0 +1,128 @@
+"""Fused (single-kernel) Pallas warm median == the XLA warm search,
+exactly: integer counts and order-independent min/max make the two
+implementations bitwise-equal on the same distance block."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stein_tpu.ops.median import (
+    _strided_rows,
+    _warm_search,
+    warm_bisect_median_on_D,
+)
+from stein_tpu.ops.pallas_median import fused_warm_median_rows
+
+
+def _block(n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = rng.normal(size=(n, 16))
+    D = ((theta[:, None, :] - theta[None, :, :]) ** 2).sum(-1)
+    return jnp.asarray(_strided_rows(jnp.asarray(D, jnp.float32), m))
+
+
+@pytest.mark.parametrize("n,m", [(64, 64), (200, 64), (1000, 512)])
+@pytest.mark.parametrize("warm_passes", [8, 6, 4])
+def test_fused_equals_xla_warm_search(n, m, warm_passes):
+    D_sub = _block(n, m)
+    ref_med = float(_warm_search(
+        D_sub, jnp.float32(0.0), warm_passes,
+        (0.92, 1.09), (0.25, 4.0),
+    ))
+    for med_prev in (0.0, ref_med, 0.5 * ref_med, 10.0 * ref_med):
+        want = float(_warm_search(
+            D_sub, jnp.float32(med_prev), warm_passes,
+            (0.92, 1.09), (0.25, 4.0),
+        ))
+        got = float(fused_warm_median_rows(
+            D_sub, jnp.float32(med_prev), warm_passes=warm_passes,
+            interpret=True,
+        ))
+        assert got == want, (med_prev, got, want)
+
+
+def test_fused_matches_on_D_entry_point():
+    """Equality against the public on-D entry (same strided subsample)."""
+    rng = np.random.default_rng(3)
+    theta = rng.normal(size=(300, 8))
+    D = jnp.asarray(
+        ((theta[:, None, :] - theta[None, :, :]) ** 2).sum(-1), jnp.float32
+    )
+    med_prev = jnp.float32(float(jnp.median(D)))
+    want = float(warm_bisect_median_on_D(D, med_prev, max_rows=128,
+                                         warm_passes=6))
+    got = float(fused_warm_median_rows(_strided_rows(D, 128), med_prev,
+                                       warm_passes=6, interpret=True))
+    assert got == want
+
+
+def test_sampler_fused_median_matches_xla_trajectory():
+    """SVGDSampler(median_impl='fused') reproduces the XLA warm-median
+    trajectory exactly (same medians -> same bandwidths -> same steps)."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(0)
+    n, p = 48, 6
+    X = rng.normal(size=(80, p))
+    y = X @ rng.normal(size=(p, 1))
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    def make(median_impl):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            theta=theta0, median="bisect", warm_median=True,
+            warm_passes=6, median_impl=median_impl, pallas_interpret=True,
+        )
+
+    a, b = make("xla"), make("fused")
+    aux_a = a.run(batch, 12)
+    aux_b = b.run(batch, 12)
+    np.testing.assert_array_equal(
+        np.asarray(aux_a["median"]), np.asarray(aux_b["median"])
+    )
+    np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_fused_requires_warm_median():
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    model = LinearRegressionModel(3)
+    with pytest.raises(ValueError, match="warm_median"):
+        SVGDSampler(
+            n_particles=8, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            median="bisect", median_impl="fused",
+        )
+
+
+def test_fused_rejects_mesh():
+    import jax
+    from jax.sharding import Mesh
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    model = LinearRegressionModel(3)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
+    with pytest.raises(ValueError, match="single-device"):
+        SVGDSampler(
+            n_particles=8, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            median="bisect", warm_median=True, median_impl="fused",
+            mesh=mesh,
+        )
+
+
+def test_fused_rejects_int32_overflow():
+    import jax
+
+    big = jax.ShapeDtypeStruct((65536, 65536), jnp.float32)
+    with pytest.raises(ValueError, match="int32"):
+        jax.eval_shape(
+            lambda d: fused_warm_median_rows(d, 1.0, interpret=True), big
+        )

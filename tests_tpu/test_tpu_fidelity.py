@@ -321,3 +321,32 @@ def test_ksd_precision():
     ref = float(np.mean(K * (SS + cross / h2 + p / h2 - D / (h2 * h2))))
     print(f"[fidelity] ksd f32 {got:.6g} vs f64 {ref:.6g}")
     assert abs(got - ref) < 1e-3 * max(1.0, abs(ref)), (got, ref)
+
+
+def test_fused_warm_median_bitwise_on_tpu():
+    """The single-kernel Mosaic warm median == the XLA warm search on the
+    REAL chip, bitwise (integer counts + order-independent min/max + the
+    same scalar interval arithmetic — tests/test_pallas_median.py proves
+    this in interpret mode; this pins the compiled Mosaic kernel)."""
+    from stein_tpu.ops.median import _strided_rows, _warm_search
+    from stein_tpu.ops.pallas_median import fused_warm_median_rows
+
+    rng = np.random.default_rng(7)
+    for n, m, wp in ((1000, 512, 6), (4096, 128, 8), (777, 512, 4)):
+        theta = rng.normal(size=(n, 32)) * rng.uniform(0.01, 10.0)
+        th = jnp.asarray(theta, jnp.float32)
+        rsq = jnp.sum(th * th, axis=1)
+        D = (rsq[:, None] + rsq[None, :]
+             - 2.0 * jnp.matmul(th, th.T,
+                                precision=jax.lax.Precision.HIGHEST))
+        D_sub = _strided_rows(D, m)
+        approx = float(jnp.median(D_sub))
+        for med_prev in (0.0, approx, 0.3 * approx, 5.0 * approx):
+            want = float(_warm_search(
+                D_sub, jnp.float32(med_prev), wp, (0.92, 1.09),
+                (0.25, 4.0),
+            ))
+            got = float(fused_warm_median_rows(
+                D_sub, jnp.float32(med_prev), warm_passes=wp
+            ))
+            assert got == want, (n, m, wp, med_prev, got, want)
