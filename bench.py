@@ -134,11 +134,24 @@ def main():
                            # error, re-verified every step
                            # (ops/median.warm_bisect_median); the
                            # sequential count kernels dominate at this n
-        warm_passes=6,     # sweep (benchmarks/warm_passes_sweep.py):
-                           # 3 quad rounds = 55.3 vs 58.6 us at 4 rounds
-                           # for 0.11% vs 0.08% median error; 2 rounds
-                           # saves 3.6 us more but costs 1% bandwidth
-                           # error — not taken
+        warm_passes=6,     # sweep (benchmarks/warm_passes_sweep.py,
+                           # production-regime metric): max per-step
+                           # median error 3.3% at 3 rounds vs 0.8% at 4
+                           # (the wide-bracket bound governs on early
+                           # fast-drift steps) — statistically invisible
+                           # for the bandwidth heuristic (the statistical
+                           # suite pins posterior quality); 2 rounds
+                           # reaches 9.7% — not taken
+        median_impl="fused",  # whole warm search in ONE Pallas kernel on
+                              # the VMEM-resident block — bitwise the same
+                              # medians, 54.0 -> 46.5 us full step
+                              # (benchmarks/fused_median_bench.py)
+        step_impl="fused",    # ... and then the ENTIRE post-gradient tail
+                              # (median -> K -> contraction -> clip ->
+                              # Adam) in ONE kernel: 46.2 -> 27.7 us
+                              # (36.1M updates/s) — gradients + HIGHEST
+                              # Gram stay in XLA, D numerics unchanged
+                              # (benchmarks/fused_step_bench.py)
     )
 
     # Config 2: n=10240, Pallas streaming kernel + bisect median
@@ -154,6 +167,8 @@ def main():
         median_max_rows=128,  # row subsample: <1% median error at
                               # n=10240 (statistically invisible for the
                               # heuristic), 4x less count-pass bandwidth
+        median_impl="fused",  # 594 -> 524 us full step, bitwise-equal
+                              # medians (benchmarks/fused_median_bench.py)
     )
 
     print(json.dumps({

@@ -232,6 +232,20 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
     return phi_fn
 
 
+def _make_grad_all(log_p, unravel_fn, remat):
+    """vmap(value_and_grad) over flat particle rows — THE gradient stage
+    shared by every step builder (remat rematerialises the log_p forward
+    in the backward, jax.checkpoint)."""
+
+    def log_p_flat(theta_row, batch):
+        return log_p(unravel_fn(theta_row), batch)
+
+    if remat:
+        log_p_flat = jax.checkpoint(log_p_flat)
+
+    return jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+
 def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
                  remat=False):
     """Build the pure SVGD step: (state, batch) -> (state, aux).
@@ -243,13 +257,7 @@ def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
     when the model's activations x n_particles would not fit.
     """
 
-    def log_p_flat(theta_row, batch):
-        return log_p(unravel_fn(theta_row), batch)
-
-    if remat:
-        log_p_flat = jax.checkpoint(log_p_flat)
-
-    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+    grad_all = _make_grad_all(log_p, unravel_fn, remat)
 
     def step_fn(state, batch):
         theta = state.particles
@@ -277,13 +285,7 @@ def make_warm_step_fn(log_p, unravel_fn, gd, warm_phi_fn,
     """Scan-carried step for warm-median sampling: carry is
     (SVGDState, med_prev)."""
 
-    def log_p_flat(theta_row, batch):
-        return log_p(unravel_fn(theta_row), batch)
-
-    if remat:
-        log_p_flat = jax.checkpoint(log_p_flat)
-
-    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+    grad_all = _make_grad_all(log_p, unravel_fn, remat)
 
     def step_fn(carry, batch):
         state, med_prev = carry
@@ -303,6 +305,50 @@ def make_warm_step_fn(log_p, unravel_fn, gd, warm_phi_fn,
         return (new_state, kaux["median"]), aux
 
     return step_fn
+
+
+def make_fused_warm_step_fn(log_p, unravel_fn, gd,
+                            max_phi_norm=10.0, remat=False,
+                            median_max_rows=512, median_passes=30,
+                            warm_passes=8, pallas_interpret=False):
+    """Scan-carried warm step whose ENTIRE post-gradient tail (warm median
+    -> K -> contractions -> clip -> optimizer) is one Pallas kernel
+    (ops/pallas_step.fused_warm_step_tail) — the small-n dispatch-latency
+    killer. Gradients and the HIGHEST-precision Gram stay in XLA, so the
+    deployed D numerics are identical to the XLA path. Returns
+    (step_fn, init_med) with the same carry contract as
+    make_warm_step_fn."""
+    from .ops.median import _strided_rows, bisect_median
+    from .ops.pallas_step import fused_warm_step_tail
+    from .ops.rbf import pairwise_sq_dists
+
+    grad_all = _make_grad_all(log_p, unravel_fn, remat)
+
+    def step_fn(carry, batch):
+        state, med_prev = carry
+        theta = state.particles
+        log_p_vals, grads = grad_all(theta, batch)
+        D = pairwise_sq_dists(theta)
+        new_theta, new_opt, (med, norm, h2) = fused_warm_step_tail(
+            theta, grads, D, _strided_rows(D, median_max_rows), med_prev,
+            state.opt_state, gd, max_phi_norm=max_phi_norm,
+            warm_passes=warm_passes, interpret=pallas_interpret,
+        )
+        new_state = SVGDState(new_theta, new_opt, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jnp.mean(log_p_vals),
+            "h2": h2,
+            "median": med,
+        }
+        return (new_state, med), aux
+
+    def init_med(theta):
+        return bisect_median(
+            theta, max_rows=median_max_rows, passes=median_passes
+        )
+
+    return step_fn, init_med
 
 
 class SVGDSampler:
@@ -373,6 +419,20 @@ class SVGDSampler:
         sequential kernels are ~40% of the n=1000 step
         (benchmarks/step_breakdown.py). Requires warm_median=True;
         single-device only (the mesh warm search psums across shards).
+    step_impl : "xla" (default) | "fused" — "fused" collapses the ENTIRE
+        post-gradient tail (warm median -> K -> contractions -> clip ->
+        optimizer) into one Pallas kernel
+        (ops/pallas_step.fused_warm_step_tail). Gradients and the
+        HIGHEST-precision Gram stay in XLA (deployed D numerics identical
+        to the XLA path); K/phi take the streaming tile's exp2 form, so
+        trajectories match the XLA path to the same tolerance as
+        kernel_impl="pallas". Extra warm rounds cost ~2-6 us each even
+        in-kernel (sequential scalar-synced VMEM passes — measured,
+        benchmarks/fused_step_bench.py), much less than an XLA dispatch
+        but not free. Requires warm_median=True, the default RBF kernel,
+        kernel_impl="xla", f32, single device, and
+        (n_particles, n_params) small enough that D + K + the state fit
+        VMEM (ops/pallas_step.fused_step_vmem_bytes; n=1024/p=128 fits).
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -383,7 +443,8 @@ class SVGDSampler:
                  model_axis=None, comm="all_gather", remat=False,
                  kernel=None, binned_bins=4096, binned_block_rows=256,
                  median_passes=30, warm_median=False, warm_passes=8,
-                 pallas_precision="f32", median_impl="xla"):
+                 pallas_precision="f32", median_impl="xla",
+                 step_impl="xla"):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -475,27 +536,67 @@ class SVGDSampler:
                     "TPU-native float); use median_impl='xla' with "
                     f"dtype={dtype}"
                 )
+            if step_impl not in ("xla", "fused"):
+                raise ValueError(f"unknown step_impl: {step_impl!r}")
+            if step_impl == "fused":
+                from .ops.pallas_step import fused_step_vmem_bytes
+                if not warm_median:
+                    raise ValueError(
+                        "step_impl='fused' fuses the warm-median scan "
+                        "path; set warm_median=True"
+                    )
+                if kernel is not None or kernel_impl != "xla":
+                    raise ValueError(
+                        "step_impl='fused' requires the default RBF "
+                        "kernel and kernel_impl='xla' (the tail replaces "
+                        "both)"
+                    )
+                if dtype != jnp.float32:
+                    raise ValueError("step_impl='fused' is f32-only")
+                vb = fused_step_vmem_bytes(
+                    self.n_particles, self.n_params,
+                    min(median_max_rows, self.n_particles),
+                )
+                if vb > 14 * 2 ** 20:
+                    raise ValueError(
+                        f"step_impl='fused' needs ~{vb / 2**20:.0f} MiB "
+                        "of VMEM for this (n_particles, n_params) — above "
+                        "the ~14 MiB budget of a 16 MiB/core chip; use "
+                        "the unfused path (kernel_impl='pallas' for "
+                        "large n)"
+                    )
             if warm_median:
                 if median != "bisect" or kernel is not None:
                     raise ValueError(
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
                     )
-                warm_phi = make_warm_phi_fn(
-                    self.n_particles, kernel_impl=kernel_impl,
-                    median_max_rows=median_max_rows,
-                    median_passes=median_passes,
-                    warm_passes=warm_passes,
-                    pallas_block=pallas_block,
-                    pallas_interpret=pallas_interpret,
-                    pallas_precision=pallas_precision,
-                    median_impl=median_impl,
-                )
-                self._warm_step_fn = make_warm_step_fn(
-                    log_p, self.unravel_fn, gd, warm_phi,
-                    max_phi_norm=max_phi_norm, remat=remat,
-                )
-                self._warm_init_med = warm_phi.init_med
+                if step_impl == "fused":
+                    self._warm_step_fn, self._warm_init_med = \
+                        make_fused_warm_step_fn(
+                            log_p, self.unravel_fn, gd,
+                            max_phi_norm=max_phi_norm, remat=remat,
+                            median_max_rows=median_max_rows,
+                            median_passes=median_passes,
+                            warm_passes=warm_passes,
+                            pallas_interpret=pallas_interpret,
+                        )
+                else:
+                    warm_phi = make_warm_phi_fn(
+                        self.n_particles, kernel_impl=kernel_impl,
+                        median_max_rows=median_max_rows,
+                        median_passes=median_passes,
+                        warm_passes=warm_passes,
+                        pallas_block=pallas_block,
+                        pallas_interpret=pallas_interpret,
+                        pallas_precision=pallas_precision,
+                        median_impl=median_impl,
+                    )
+                    self._warm_step_fn = make_warm_step_fn(
+                        log_p, self.unravel_fn, gd, warm_phi,
+                        max_phi_norm=max_phi_norm, remat=remat,
+                    )
+                    self._warm_init_med = warm_phi.init_med
         else:
             # Options the sharded steps cannot honour must fail loudly,
             # not silently fall back (a custom kernel silently replaced
@@ -515,6 +616,13 @@ class SVGDSampler:
                     "median_impl='fused' is single-device only (the mesh "
                     "warm search psums counts across shards; the fused "
                     "kernel cannot contain a collective)"
+                )
+            if step_impl not in ("xla", "fused"):
+                raise ValueError(f"unknown step_impl: {step_impl!r}")
+            if step_impl == "fused":
+                raise ValueError(
+                    "step_impl='fused' is single-device only (the tail "
+                    "kernel cannot contain the mesh collectives)"
                 )
             if warm_median:
                 if median != "bisect" or kernel is not None:

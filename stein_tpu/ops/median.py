@@ -321,11 +321,18 @@ def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
 
     followed by ceil(warm_passes/2) quad-ary rounds (2 bits per sequential
     kernel, like _bisect_search). Per-step error is bounded by the final
-    interval width, width0/4^rounds: ~0.17*med/4^4 = 0.066% of med warm
-    (measured 0.05-0.13% max per step at warm_passes=6, production carry
-    regime — benchmarks/warm_passes_sweep.py), ~1.5% on a rare
-    wide-bracket step, range/4^rounds on a true cold start — callers that
-    scan
+    interval width, width0/4^rounds: 0.17*med/4^rounds when the tight
+    bracket holds, 3.75*med/4^rounds on a wide-bracket step. Wide-bracket
+    steps are NOT rare on real trajectories — the early fast-shrink phase
+    drifts the median >8%/step, and the measured production-regime
+    per-step max errors track the WIDE bound (n=1000, 200 steps:
+    0.8% / 3.3% / 9.7% at warm_passes=8/6/4 vs wide bounds
+    1.5% / 5.9% / 23% — benchmarks/warm_passes_sweep.py). Posterior
+    effects are pinned by the statistical tests; callers needing tighter
+    per-step bandwidths raise warm_passes (in the fused kernels,
+    ops/pallas_median.py / pallas_step.py, an extra round costs ~2-6 us
+    of in-kernel VMEM passes vs a full XLA dispatch). On a true cold
+    start the bound is range/4^rounds — callers that scan
     (api.run / train_on_batches) seed the carry with a full cold
     bisect_median of the initial particles, so the cold fallback only
     fires after a >4x single-step median jump. The brackets are

@@ -66,6 +66,28 @@ class Adam:
         new_lr = state.learning_rate * jnp.asarray(self.decay, dtype)
         return step, AdamState(mu, nu, t, new_lr)
 
+    def update_kernel(self, state, phi):
+        """``update`` reformulated for Pallas kernels: Mosaic cannot
+        legalize the float pow (math.powf) in the bias corrections, so
+        b**t is computed as exp(t*log(b)) — identical math, ~1 ulp
+        different rounding. The XLA ``update`` stays byte-for-byte as the
+        oracle-pinned reference semantics; the fused step tail
+        (ops/pallas_step.py) has a tolerance-based trajectory contract,
+        where 1 ulp is far inside the matmul-order noise."""
+        dtype = phi.dtype
+        b1 = jnp.asarray(self.beta_1, dtype)
+        b2 = jnp.asarray(self.beta_2, dtype)
+        first = state.count == 0
+        mu = jnp.where(first, phi, b1 * state.mu + (1.0 - b1) * phi)
+        nu = jnp.where(first, phi ** 2, b2 * state.nu + (1.0 - b2) * phi ** 2)
+        t = state.count + 1
+        tf_ = t.astype(dtype)
+        mup = mu / (1.0 - jnp.exp(tf_ * jnp.log(b1)))
+        nup = nu / (1.0 - jnp.exp(tf_ * jnp.log(b2)))
+        step = mup / (1e-8 + jnp.sqrt(nup)) * state.learning_rate
+        new_lr = state.learning_rate * jnp.asarray(self.decay, dtype)
+        return step, AdamState(mu, nu, t, new_lr)
+
 
 @dataclasses.dataclass(frozen=True)
 class Adagrad:

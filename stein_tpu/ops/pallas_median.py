@@ -30,10 +30,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _warm_kernel(med_ref, D_ref, out_ref, *, k, rounds, bracket,
-                 bracket_wide):
-    D = D_ref[:]
-    med_prev = med_ref[0]
+def warm_search_on_value(D, med_prev, *, k, rounds, bracket, bracket_wide):
+    """The warm-bracket search as in-kernel value code: D is a loaded
+    (VMEM-resident) block, med_prev a scalar. Shared by the standalone
+    fused-median kernel below and the fully-fused small-n step kernel
+    (ops/pallas_step.py). Bitwise-equal to ops/median._warm_search on the
+    same block (integer counts, order-independent min/max, identical
+    scalar interval arithmetic)."""
     k_c = jnp.int32(k)
 
     def count_le(t):
@@ -71,7 +74,15 @@ def _warm_kernel(med_ref, D_ref, out_ref, *, k, rounds, bracket,
         return lo_new, lo_new + w
 
     lo, hi = jax.lax.fori_loop(0, rounds, body, (lo0, hi0))
-    out_ref[0] = 0.5 * (lo + hi)
+    return 0.5 * (lo + hi)
+
+
+def _warm_kernel(med_ref, D_ref, out_ref, *, k, rounds, bracket,
+                 bracket_wide):
+    out_ref[0] = warm_search_on_value(
+        D_ref[:], med_ref[0], k=k, rounds=rounds, bracket=bracket,
+        bracket_wide=bracket_wide,
+    )
 
 
 @functools.partial(

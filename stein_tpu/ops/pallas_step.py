@@ -1,0 +1,199 @@
+"""Fully-fused small-n SVGD step tail: ONE Pallas kernel for
+warm median -> K -> contractions -> clip -> optimizer.
+
+At small n the step is dispatch-latency bound, not FLOP bound: the n=1000
+profile (benchmarks/step_breakdown.py) is ~10 µs of gradients + ~8 µs of
+Gram and then ~35 µs spread over a dozen sequential XLA kernels (median
+counts, K, contraction, clip reductions, Adam) each costing a few µs of
+launch/HBM latency for sub-µs of compute. This kernel keeps everything
+after the gradients and the HIGHEST-precision Gram — which stay in XLA so
+the deployed D numerics are identical to the XLA path — resident in VMEM
+and collapses the tail into one invocation.
+
+Semantics (reference citations in ops/rbf.py / ops/optimizers.py):
+- warm median: bitwise-equal to ops/median._warm_search on the same
+  strided row block (shared in-kernel helper, ops/pallas_median.py).
+- K and phi: the streaming tile's exp2 form (ops/pallas_svgd.py) —
+  matches the XLA path to matmul reduction order + the exp2 evaluation
+  (~1e-7 relative).
+- clip + optimizer: the optimizer's own ``gd.update`` pytree code is
+  traced INSIDE the kernel (pure jnp elementwise math — Adam/Adagrad
+  quirks included by construction), so the tail stays generic over the
+  step rule.
+
+VMEM budget: the kernel holds D and K ([n, n] f32 each) plus the [m, n]
+median block and seven [n, p] arrays — callers gate on
+``fused_step_vmem_bytes`` (~16 MB/core); n=1024/p=128 fits.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_median import warm_search_on_value
+
+_LOG2E_HALF = -1.4426950408889634 / 2.0
+
+
+def fused_step_vmem_bytes(n, p, m):
+    """Rough live-buffer bound for the fused tail (D + K + median block +
+    the [n, p] in/out arrays), used by callers to gate the option. When
+    m >= n the median block IS D (staged once), so it adds nothing."""
+    m_extra = 0 if m >= n else m
+    return 4 * (2 * n * n + m_extra * n + 8 * n * p)
+
+
+def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, bracket,
+                 bracket_wide, n_particles):
+    (n_scalar_in, n_array_in, treedef, scalar_pos, share_dsub) = meta
+    # in refs: med, *opt_scalars, D, [Dsub], theta, grads, *opt_arrays
+    # out refs: new_theta, *new_opt_arrays, *new_opt_scalars, stats
+    idx = 0
+    med_ref = refs[idx]; idx += 1
+    scalar_in = refs[idx:idx + n_scalar_in]; idx += n_scalar_in
+    D_ref = refs[idx]; idx += 1
+    if share_dsub:
+        # The median block IS the full D (n <= max_rows): one VMEM copy.
+        Dsub_ref = D_ref
+    else:
+        Dsub_ref = refs[idx]; idx += 1
+    theta_ref = refs[idx]; idx += 1
+    grads_ref = refs[idx]; idx += 1
+    array_in = refs[idx:idx + n_array_in]; idx += n_array_in
+    out_theta = refs[idx]; idx += 1
+    out_arrays = refs[idx:idx + n_array_in]; idx += n_array_in
+    out_scalars = refs[idx:idx + n_scalar_in]; idx += n_scalar_in
+    stats_ref = refs[idx]
+
+    theta = theta_ref[:]
+    grads = grads_ref[:]
+    f32 = jnp.float32
+
+    med = warm_search_on_value(
+        Dsub_ref[:], med_ref[0], k=k, rounds=rounds, bracket=bracket,
+        bracket_wide=bracket_wide,
+    )
+    h2 = med / jnp.log(jnp.asarray(n_particles, f32))
+
+    K = jnp.exp2(D_ref[:] * (_LOG2E_HALF / h2))
+    attract = jnp.dot(K, grads, preferred_element_type=f32)
+    ktheta = jnp.dot(K, theta, preferred_element_type=f32)
+    ksum = jnp.sum(K, axis=1, keepdims=True)
+    phi = (attract + (ksum * theta - ktheta) / h2) / n_particles
+
+    # Global norm clip (abstract_stein_sampler.py:125).
+    norm = jnp.sqrt(jnp.sum(phi * phi))
+    c = jnp.asarray(max_phi_norm, theta.dtype)
+    phi = phi * (c / jnp.maximum(c, norm))
+
+    # Rebuild the optimizer state pytree from the refs and run the step
+    # rule's own (pure jnp) update inside the kernel.
+    leaves = []
+    si = iter(scalar_in)
+    ai = iter(array_in)
+    for is_scalar in scalar_pos:
+        leaves.append(next(si)[0] if is_scalar else next(ai)[:])
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    # update_kernel (when provided) is the Mosaic-legal reformulation of
+    # the step rule (e.g. Adam's float pow -> exp/log); identical math.
+    update = getattr(gd, "update_kernel", gd.update)
+    delta, new_state = update(opt_state, phi)
+
+    out_theta[:] = theta + delta
+    new_leaves = jax.tree_util.tree_leaves(new_state)
+    so = iter(out_scalars)
+    ao = iter(out_arrays)
+    for is_scalar, leaf in zip(scalar_pos, new_leaves):
+        if is_scalar:
+            next(so)[0] = leaf
+        else:
+            next(ao)[:] = leaf
+    stats_ref[0] = med
+    stats_ref[1] = norm
+    stats_ref[2] = h2
+
+
+def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
+                         max_phi_norm=10.0, warm_passes=8,
+                         bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0),
+                         interpret=False):
+    """One-kernel step tail. Returns (new_theta, new_opt_state,
+    (med, phi_norm, h2)).
+
+    ``theta``/``grads`` are [n, p] f32; ``D`` the full [n, n]
+    squared-distance matrix (computed in XLA at Precision.HIGHEST so the
+    deployed D numerics match the XLA path exactly); ``D_sub`` its
+    strided row block (ops/median.row_subsample_block policy); ``gd`` a
+    frozen-dataclass step rule whose ``update`` is pure jnp.
+    """
+    n, p = theta.shape
+    m = D_sub.shape[0]
+    total = m * D_sub.shape[1]
+    if total >= 2 ** 31:
+        raise ValueError("fused step: median block exceeds int32 counts")
+    for name, arr in (("theta", theta), ("grads", grads), ("D", D),
+                      ("D_sub", D_sub)):
+        if arr.dtype != jnp.float32:
+            raise TypeError(
+                f"fused step is f32-only (got {name}={arr.dtype})"
+            )
+    f32 = jnp.float32
+
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    scalar_pos = tuple(jnp.ndim(leaf) == 0 for leaf in leaves)
+    scalar_leaves = [l for l, s in zip(leaves, scalar_pos) if s]
+    array_leaves = [l for l, s in zip(leaves, scalar_pos) if not s]
+    for leaf in array_leaves:
+        if leaf.shape != (n, p):
+            raise ValueError(
+                "fused step supports optimizer states whose array leaves "
+                f"are [n, p]; got {leaf.shape}"
+            )
+
+    # When the subsample policy kept every row (n <= max_rows), the
+    # caller passes D itself as D_sub — stage it into VMEM once.
+    share_dsub = D_sub is D
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_vmem_in = (3 if share_dsub else 4) + len(array_leaves)
+    in_specs = [smem] * (1 + len(scalar_leaves)) + [vmem] * n_vmem_in
+    out_specs = ([vmem] * (1 + len(array_leaves))
+                 + [smem] * (len(scalar_leaves) + 1))
+    out_shape = (
+        [jax.ShapeDtypeStruct((n, p), f32)]
+        + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in array_leaves]
+        + [jax.ShapeDtypeStruct((1,), l.dtype) for l in scalar_leaves]
+        + [jax.ShapeDtypeStruct((3,), f32)]
+    )
+    meta = (len(scalar_leaves), len(array_leaves), treedef, scalar_pos,
+            share_dsub)
+    kernel = functools.partial(
+        _tail_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
+        k=(total + 1) // 2, rounds=(warm_passes + 1) // 2,
+        bracket=bracket, bracket_wide=bracket_wide, n_particles=n,
+    )
+    dsub_arg = () if share_dsub else (D_sub,)
+    outs = pl.pallas_call(
+        kernel, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(jnp.asarray(med_prev).astype(f32).reshape(1),
+      *[l.reshape(1) for l in scalar_leaves],
+      D, *dsub_arg, theta, grads, *array_leaves)
+
+    new_theta = outs[0]
+    new_arrays = list(outs[1:1 + len(array_leaves)])
+    new_scalars = [
+        o.reshape(()) for o in
+        outs[1 + len(array_leaves):1 + len(array_leaves)
+             + len(scalar_leaves)]
+    ]
+    stats = outs[-1]
+    new_leaves = []
+    si, ai = iter(new_scalars), iter(new_arrays)
+    for is_scalar in scalar_pos:
+        new_leaves.append(next(si) if is_scalar else next(ai))
+    new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return new_theta, new_opt, (stats[0], stats[1], stats[2])

@@ -72,3 +72,23 @@ def test_adam_decays_lr_after_step():
     state = opt.init((2, 2), jnp.float64)
     _, state = opt.update(state, jnp.ones((2, 2), jnp.float64))
     np.testing.assert_allclose(float(state.learning_rate), 0.09)
+
+
+def test_adam_update_kernel_matches_update():
+    """The Mosaic-legal pow-free Adam (used inside the fused step tail)
+    must match the oracle-pinned update to rounding."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stein_tpu.ops.optimizers import Adam
+
+    gd = Adam(learning_rate=1e-1, decay=0.99)
+    rng = np.random.default_rng(0)
+    state_a = gd.init((16, 4), jnp.float32)
+    state_b = gd.init((16, 4), jnp.float32)
+    for _ in range(9):
+        phi = jnp.asarray(rng.normal(size=(16, 4)), jnp.float32)
+        da, state_a = gd.update(state_a, phi)
+        db, state_b = gd.update_kernel(state_b, phi)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(da),
+                                   rtol=2e-6, atol=1e-9)
+    assert int(state_a.count) == int(state_b.count)

@@ -1,0 +1,108 @@
+"""Fully-fused small-n step tail (step_impl='fused'): the one-kernel
+warm-median -> K -> contraction -> clip -> optimizer tail must reproduce
+the XLA warm path's trajectory.
+
+Equality structure:
+- median at step 1: BITWISE (identical input particles -> identical
+  strided block -> the same integer counts and interval arithmetic);
+- everything after: tolerance-equal only — the contraction's matmul
+  reduction order and the exp2 kernel evaluation differ from XLA
+  (the kernel_impl='pallas' tolerance class), so from step 2 the
+  trajectories (and hence the medians, computed on different particle
+  sets) diverge chaotically within that tolerance.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stein_tpu import Adagrad, Adam, SVGDSampler
+from stein_tpu.models import LinearRegressionModel
+
+
+def _problem(n=48, p=6, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(80, p))
+    y = X @ rng.normal(size=(p, 1))
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    return model, batch, theta0
+
+
+def _make(model, theta0, gd, step_impl, **kw):
+    return SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), gd=gd, theta=theta0,
+        median="bisect", warm_median=True, warm_passes=6,
+        step_impl=step_impl, pallas_interpret=True, **kw,
+    )
+
+
+@pytest.mark.parametrize("gd_factory", [
+    lambda: Adam(learning_rate=1e-1, decay=0.999),
+    lambda: Adagrad(learning_rate=5e-2),
+])
+def test_fused_step_matches_xla_warm_trajectory(gd_factory):
+    model, batch, theta0 = _problem()
+    a = _make(model, theta0, gd_factory(), "xla")
+    b = _make(model, theta0, gd_factory(), "fused")
+    aux_a = a.run(batch, 15)
+    aux_b = b.run(batch, 15)
+    med_a = np.asarray(aux_a["median"])
+    med_b = np.asarray(aux_b["median"])
+    # Step 1 runs both searches on IDENTICAL particles: bitwise.
+    assert med_b[0] == med_a[0], (med_b[0], med_a[0])
+    # Later steps run on (tolerance-)diverged particles: close, not equal.
+    np.testing.assert_allclose(med_b, med_a, rtol=5e-3)
+    np.testing.assert_allclose(
+        b.samples, a.samples, rtol=2e-4, atol=1e-6,
+        err_msg="fused-tail trajectory diverged beyond matmul-order "
+                "tolerance",
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_b["phi_norm"]), np.asarray(aux_a["phi_norm"]),
+        rtol=1e-4,
+    )
+
+
+def test_fused_step_optimizer_state_roundtrip():
+    """The in-kernel gd.update must carry the full optimizer state
+    (count, decayed lr, moments) identically to the XLA step."""
+    model, batch, theta0 = _problem(seed=1)
+    a = _make(model, theta0, Adam(learning_rate=1e-1, decay=0.99), "xla")
+    b = _make(model, theta0, Adam(learning_rate=1e-1, decay=0.99), "fused")
+    a.run(batch, 7)
+    b.run(batch, 7)
+    assert int(a.state.opt_state.count) == int(b.state.opt_state.count)
+    np.testing.assert_allclose(
+        float(b.state.opt_state.learning_rate),
+        float(a.state.opt_state.learning_rate), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.state.opt_state.mu), np.asarray(a.state.opt_state.mu),
+        rtol=2e-4, atol=1e-7,
+    )
+
+
+def test_fused_step_guards():
+    model, batch, theta0 = _problem()
+    gd = Adam(learning_rate=1e-1)
+    with pytest.raises(ValueError, match="warm_median"):
+        SVGDSampler(
+            n_particles=48, log_p=model.log_p,
+            param_template=model.template(), gd=gd, theta=theta0,
+            median="bisect", step_impl="fused",
+        )
+    with pytest.raises(ValueError, match="kernel"):
+        _make(model, theta0, gd, "fused", kernel_impl="pallas")
+    with pytest.raises(ValueError, match="VMEM"):
+        LR = LinearRegressionModel(128)
+        SVGDSampler(
+            n_particles=20000, log_p=LR.log_p,
+            param_template=LR.template(), gd=gd,
+            median="bisect", warm_median=True, step_impl="fused",
+        )
+    with pytest.raises(ValueError, match="unknown step_impl"):
+        _make(model, theta0, gd, "bogus")
