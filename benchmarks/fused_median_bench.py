@@ -20,11 +20,11 @@ enable_compilation_cache()
 from bench import make_data, make_sampler, slope_time
 
 
-def run(n, seed, timing, median_impl, **kw):
+def run(n, seed, timing, median_impl, warm, **kw):
     X, y, theta0 = make_data(n, seed=seed)
     s, batch = make_sampler(
         X, y, theta0, median="bisect", median_passes=16,
-        warm_median=True, median_impl=median_impl, **kw,
+        warm_median=warm, median_impl=median_impl, **kw,
     )
     t = slope_time(s, batch, **timing)
     # Sanity: medians still healthy (bitwise parity is pinned by tests).
@@ -34,16 +34,23 @@ def run(n, seed, timing, median_impl, **kw):
 
 
 def main():
-    for n, seed, timing, kw in (
-        (1000, 0, dict(K=1000, R=10, reps=5), dict(warm_passes=6)),
-        (10240, 1, dict(K=100, R=6, reps=4),
+    for n, seed, warm, timing, kw in (
+        (1000, 0, True, dict(K=1000, R=10, reps=5), dict(warm_passes=6)),
+        (10240, 1, True, dict(K=100, R=6, reps=4),
          dict(warm_passes=8, kernel_impl="pallas", pallas_block=1024,
+              median_max_rows=128)),
+        # Cold (non-warm) path: the fused kernel runs the SAME cold
+        # quad-ary search in one invocation (bitwise-equal).
+        (1000, 0, False, dict(K=1000, R=10, reps=5), {}),
+        (10240, 1, False, dict(K=100, R=6, reps=4),
+         dict(kernel_impl="pallas", pallas_block=1024,
               median_max_rows=128)),
     ):
         for impl in ("xla", "fused"):
-            t, med = run(n, seed, timing, impl, **kw)
+            t, med = run(n, seed, timing, impl, warm, **kw)
             print(json.dumps({
                 "bench": "fused_median", "n": n, "median_impl": impl,
+                "warm": warm,
                 "step_us": round(t * 1e6, 2),
                 "updates_per_s": round(n / t, 1),
                 "median_after_3": round(med, 6),

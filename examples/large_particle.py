@@ -43,6 +43,16 @@ def main():
     ap.add_argument("--median-passes", type=int, default=16)
     ap.add_argument("--warm", action="store_true",
                     help="warm-started median across scanned steps")
+    ap.add_argument("--median-impl", type=str, default=None,
+                    choices=["xla", "fused"],
+                    help="'fused' = whole bisect search in ONE Pallas "
+                         "kernel (bitwise-equal medians; default: fused "
+                         "off-mesh, xla on a mesh)")
+    ap.add_argument("--median-rows", type=int, default=None,
+                    help="median row subsample (default: 128 at "
+                         "n>=8192 — the bench-tuned size, <1%% median "
+                         "error, fits the fused kernel's VMEM envelope "
+                         "— else 512)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the particle axis over all local devices "
                          "(kernel tiles, median counts, and the clip "
@@ -63,6 +73,16 @@ def main():
     if args.mesh:
         from stein_tpu.parallel import particle_mesh
         mesh_kwargs["mesh"] = particle_mesh()
+    median_impl = args.median_impl
+    if median_impl is None:
+        # Single-device bisect defaults to the single-kernel search; the
+        # mesh searches psum across shards and stay XLA.
+        median_impl = (
+            "fused" if not args.mesh and args.median == "bisect" else "xla"
+        )
+    median_rows = args.median_rows
+    if median_rows is None:
+        median_rows = 128 if args.n_particles >= 8192 else 512
 
     sampler = SVGDSampler(
         n_particles=args.n_particles,
@@ -73,7 +93,9 @@ def main():
         kernel_impl=args.kernel_impl,
         median=args.median,
         median_passes=args.median_passes,
+        median_max_rows=median_rows,
         warm_median=args.warm,
+        median_impl=median_impl,
         **mesh_kwargs,
     )
 

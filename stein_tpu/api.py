@@ -48,7 +48,8 @@ class SVGDState(NamedTuple):
 def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
                 median_max_rows=512, binned_bins=4096, binned_block_rows=256,
                 pallas_block=512, pallas_interpret=False, kernel=None,
-                median_passes=30, pallas_precision="f32"):
+                median_passes=30, pallas_precision="f32",
+                median_impl="xla"):
     """Build phi_fn(theta, grads) -> (phi, aux) for the requested backend.
 
     kernel_impl="xla": materialise the [n, n] kernel once; XLA fuses the
@@ -56,7 +57,36 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     repulsive matmuls run as a single MXU contraction (ops/rbf.py).
     kernel_impl="pallas": blocked fused kernel that never materialises K in
     HBM (ops/pallas_svgd.py) — the large-n path.
+
+    median_impl="fused" (median="bisect" only): run the cold quad-ary
+    search as ONE Pallas kernel on the VMEM-resident block instead of
+    1 + rounds sequential count kernels. Bitwise-equal: the cold search
+    IS the warm search with no hint (med_prev=0 fails both bracket
+    checks, so the verified fallback starts from the full range and the
+    quad-ary rounds are the same arithmetic — pinned by
+    tests/test_pallas_median.py). Applies when the subsample block is in
+    the quad-ary regime (> 100k entries, ops/median._bisect_search);
+    smaller blocks keep the XLA dual-rank search.
     """
+    if median_impl not in ("xla", "fused"):
+        raise ValueError(f"unknown median_impl: {median_impl!r}")
+
+    def fused_cold_or_none(D_sub):
+        """The single-kernel cold bisect when requested + applicable
+        (quad-ary regime AND the block fits VMEM — the XLA fallback is
+        bitwise-equal, see ops/pallas_median.fused_block_ok)."""
+        if median_impl == "fused":
+            from .ops.pallas_median import (
+                fused_block_ok,
+                fused_warm_median_rows,
+            )
+            if fused_block_ok(*D_sub.shape):
+                return fused_warm_median_rows(
+                    D_sub, jnp.float32(0.0), warm_passes=median_passes,
+                    interpret=pallas_interpret,
+                )
+        return None
+
     if median == "exact":
         median_fn = lambda theta: exact_median(rbf.pairwise_sq_dists(theta))
     elif median == "subsample":
@@ -64,9 +94,17 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
             theta, max_rows=median_max_rows
         )
     elif median == "bisect":
-        median_fn = lambda theta: bisect_median(
-            theta, max_rows=median_max_rows, passes=median_passes
-        )
+        from .ops.median import row_subsample_block
+
+        def median_fn(theta):
+            med = fused_cold_or_none(
+                row_subsample_block(theta, median_max_rows)
+            )
+            if med is not None:
+                return med
+            return bisect_median(
+                theta, max_rows=median_max_rows, passes=median_passes
+            )
     elif median == "binned":
         median_fn = lambda theta: binned_median(
             theta, n_bins=binned_bins, block_rows=binned_block_rows
@@ -78,10 +116,15 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     # run directly on (a strided row subsample of) that D instead of
     # recomputing a distance block — saving a HIGHEST-precision Gram
     # matmul per step (ops/median.bisect_median_on_D).
-    from .ops.median import bisect_median_on_D
-    bisect_on_D = lambda D: bisect_median_on_D(
-        D, max_rows=median_max_rows, passes=median_passes
-    )
+    from .ops.median import _strided_rows, bisect_median_on_D
+
+    def bisect_on_D(D):
+        med = fused_cold_or_none(_strided_rows(D, median_max_rows))
+        if med is not None:
+            return med
+        return bisect_median_on_D(
+            D, max_rows=median_max_rows, passes=median_passes
+        )
 
     if kernel is not None:
         # Pluggable non-RBF kernel (stein_tpu.kernels): generic two-matrix
@@ -165,29 +208,49 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
     kernel on the VMEM-resident distance block instead of 1 + rounds
     sequential XLA count kernels (bitwise the same result —
     ops/pallas_median.fused_warm_median_rows); the sequential kernels
-    measure ~40% of the n=1000 step (benchmarks/step_breakdown.py)."""
-    from .ops.median import warm_bisect_median
+    measure ~40% of the n=1000 step (benchmarks/step_breakdown.py).
+    Blocks outside the fused kernel's envelope (quad-ary regime + VMEM,
+    ops/pallas_median.fused_block_ok) fall back to the bitwise-equal XLA
+    search; the cold scan seed (init_med) takes the same fused path."""
+    from .ops.median import _warm_search, row_subsample_block
 
     if median_impl not in ("xla", "fused"):
         raise ValueError(f"unknown median_impl: {median_impl!r}")
 
-    if median_impl == "fused":
-        from .ops.median import row_subsample_block
-        from .ops.pallas_median import fused_warm_median_rows
+    def _use_fused(D_sub):
+        if median_impl != "fused":
+            return False
+        from .ops.pallas_median import fused_block_ok
+        return fused_block_ok(*D_sub.shape)
 
-        def compute_med(theta, med_prev):
+    def warm_med_on_block(D_sub, med_prev):
+        if _use_fused(D_sub):
+            from .ops.pallas_median import fused_warm_median_rows
             return fused_warm_median_rows(
-                row_subsample_block(theta, median_max_rows), med_prev,
-                warm_passes=warm_passes, interpret=pallas_interpret,
+                D_sub, med_prev, warm_passes=warm_passes,
+                interpret=pallas_interpret,
             )
-    else:
-        def compute_med(theta, med_prev):
-            return warm_bisect_median(
-                theta, med_prev, max_rows=median_max_rows,
-                warm_passes=warm_passes,
-            )
+        return _warm_search(D_sub, med_prev, warm_passes,
+                            (0.92, 1.09), (0.25, 4.0))
+
+    def compute_med(theta, med_prev):
+        return warm_med_on_block(
+            row_subsample_block(theta, median_max_rows), med_prev
+        )
 
     def init_med(theta):
+        # Cold seed for the scan carry. With median_impl="fused" this is
+        # the same single-kernel search with no hint (bitwise-equal to
+        # the XLA cold bisect in the quad-ary regime) — otherwise every
+        # chunked run() call would pay 1+ceil(passes/2) sequential
+        # dispatch-bound count kernels just to re-seed.
+        D_sub = row_subsample_block(theta, median_max_rows)
+        if _use_fused(D_sub):
+            from .ops.pallas_median import fused_warm_median_rows
+            return fused_warm_median_rows(
+                D_sub, jnp.float32(0.0), warm_passes=median_passes,
+                interpret=pallas_interpret,
+            )
         return bisect_median(
             theta, max_rows=median_max_rows, passes=median_passes
         )
@@ -209,24 +272,14 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
 
     def phi_fn(theta, grads, med_prev):
         # XLA path: run the warm search on the D the kernel materialises
-        # anyway (ops/median.warm_bisect_median_on_D — or its single-
-        # Pallas-kernel twin on the same strided rows).
-        from .ops.median import _strided_rows, warm_bisect_median_on_D
+        # anyway (the strided rows of that D — fused single-kernel search
+        # or the bitwise-equal XLA fallback, warm_med_on_block).
+        from .ops.median import _strided_rows
 
-        if median_impl == "fused":
-            from .ops.pallas_median import fused_warm_median_rows
-
-            def median_fn(D):
-                return fused_warm_median_rows(
-                    _strided_rows(D, median_max_rows), med_prev,
-                    warm_passes=warm_passes, interpret=pallas_interpret,
-                )
-        else:
-            def median_fn(D):
-                return warm_bisect_median_on_D(
-                    D, med_prev, max_rows=median_max_rows,
-                    warm_passes=warm_passes,
-                )
+        def median_fn(D):
+            return warm_med_on_block(
+                _strided_rows(D, median_max_rows), med_prev
+            )
         return rbf.svgd_phi(theta, grads, median_fn=median_fn)
     phi_fn.init_med = init_med
     return phi_fn
@@ -344,6 +397,17 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
         return (new_state, med), aux
 
     def init_med(theta):
+        # Same single-kernel cold seed policy as make_warm_phi_fn.
+        from .ops.median import row_subsample_block
+        from .ops.pallas_median import fused_block_ok
+
+        D_sub = row_subsample_block(theta, median_max_rows)
+        if fused_block_ok(*D_sub.shape):
+            from .ops.pallas_median import fused_warm_median_rows
+            return fused_warm_median_rows(
+                D_sub, jnp.float32(0.0), warm_passes=median_passes,
+                interpret=pallas_interpret,
+            )
         return bisect_median(
             theta, max_rows=median_max_rows, passes=median_passes
         )
@@ -411,14 +475,17 @@ class SVGDSampler:
         (ops/median.sharded_warm_bisect_median and its on-D variant).
         Off by default so run(k) stays bit-equal to k train_on_batch
         calls.
-    median_impl : "xla" (default) | "fused" — implementation of the warm
-        search. "fused" runs the whole bracket + quad-ary search in ONE
-        Pallas kernel on the VMEM-resident distance block
-        (ops/pallas_median.fused_warm_median_rows) instead of 1 + rounds
-        sequential XLA count kernels; bitwise the same medians. The
-        sequential kernels are ~40% of the n=1000 step
-        (benchmarks/step_breakdown.py). Requires warm_median=True;
-        single-device only (the mesh warm search psums across shards).
+    median_impl : "xla" (default) | "fused" — implementation of the
+        bisect-median search. "fused" runs the whole search (bracket pass
+        when warm, plus every quad-ary round) in ONE Pallas kernel on the
+        VMEM-resident distance block (ops/pallas_median) instead of
+        1 + rounds sequential XLA count kernels; bitwise the same
+        medians. The sequential kernels are ~40% of the n=1000 step
+        (benchmarks/step_breakdown.py). Applies to the warm scan path
+        AND the cold train_on_batch path (the cold search is the warm
+        search with no hint; blocks under 100k entries keep the XLA
+        dual-rank search). Requires median='bisect' and f32;
+        single-device only (the mesh searches psum across shards).
     step_impl : "xla" (default) | "fused" — "fused" collapses the ENTIRE
         post-gradient tail (warm median -> K -> contractions -> clip ->
         optimizer) into one Pallas kernel
@@ -506,6 +573,7 @@ class SVGDSampler:
                 binned_bins=binned_bins, binned_block_rows=binned_block_rows,
                 median_passes=median_passes,
                 pallas_precision=pallas_precision,
+                median_impl=median_impl,
             )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,
@@ -524,10 +592,10 @@ class SVGDSampler:
             self._warm_step_fn = None
             if median_impl not in ("xla", "fused"):
                 raise ValueError(f"unknown median_impl: {median_impl!r}")
-            if median_impl == "fused" and not warm_median:
+            if median_impl == "fused" and median != "bisect":
                 raise ValueError(
-                    "median_impl='fused' accelerates the warm-median scan "
-                    "path; set warm_median=True (the cold bisect stays XLA)"
+                    "median_impl='fused' is the single-kernel bisect "
+                    "search; it requires median='bisect'"
                 )
             if median_impl == "fused" and dtype != jnp.float32:
                 raise ValueError(

@@ -30,6 +30,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def fused_block_ok(m, n):
+    """Whether the fused single-kernel search applies to an [m, n] block:
+    in the quad-ary regime (> 100k entries — below that the XLA search
+    uses the dual-rank binary path with different results), int32-safe
+    counts, and small enough to sit in VMEM next to the kernel's few
+    scalar/reduction temporaries (~12 MiB of a 16 MiB/core budget).
+    Callers fall back to the XLA search otherwise — bitwise the same
+    result, so the fallback is safe, not a silent semantics change."""
+    total = m * n
+    return 100_000 < total < 2 ** 31 and 4 * total <= 12 * 2 ** 20
+
+
 def warm_search_on_value(D, med_prev, *, k, rounds, bracket, bracket_wide):
     """The warm-bracket search as in-kernel value code: D is a loaded
     (VMEM-resident) block, med_prev a scalar. Shared by the standalone

@@ -58,12 +58,14 @@ def test_fused_matches_on_D_entry_point():
 
 def test_sampler_fused_median_matches_xla_trajectory():
     """SVGDSampler(median_impl='fused') reproduces the XLA warm-median
-    trajectory exactly (same medians -> same bandwidths -> same steps)."""
+    trajectory exactly (same medians -> same bandwidths -> same steps).
+    n chosen so the [n, n] block is INSIDE the fused envelope (> 100k
+    entries) — the kernel really runs, not the small-block fallback."""
     from stein_tpu import Adam, SVGDSampler
     from stein_tpu.models import LinearRegressionModel
 
     rng = np.random.default_rng(0)
-    n, p = 48, 6
+    n, p = 330, 6
     X = rng.normal(size=(80, p))
     y = X @ rng.normal(size=(p, 1))
     theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
@@ -80,25 +82,59 @@ def test_sampler_fused_median_matches_xla_trajectory():
         )
 
     a, b = make("xla"), make("fused")
-    aux_a = a.run(batch, 12)
-    aux_b = b.run(batch, 12)
+    aux_a = a.run(batch, 6)
+    aux_b = b.run(batch, 6)
     np.testing.assert_array_equal(
         np.asarray(aux_a["median"]), np.asarray(aux_b["median"])
     )
     np.testing.assert_array_equal(a.samples, b.samples)
 
 
-def test_fused_requires_warm_median():
+def test_fused_requires_bisect():
     from stein_tpu import Adam, SVGDSampler
     from stein_tpu.models import LinearRegressionModel
 
     model = LinearRegressionModel(3)
-    with pytest.raises(ValueError, match="warm_median"):
+    with pytest.raises(ValueError, match="bisect"):
         SVGDSampler(
             n_particles=8, log_p=model.log_p,
             param_template=model.template(), gd=Adam(learning_rate=1e-1),
-            median="bisect", median_impl="fused",
+            median="exact", median_impl="fused",
         )
+
+
+def test_sampler_fused_cold_bisect_matches_xla():
+    """Without warm_median, median_impl='fused' runs the COLD quad-ary
+    search in one kernel — bitwise-equal to the XLA bisect (the cold
+    search is the warm search with no hint) once the block is in the
+    quad-ary regime (> 100k entries)."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(5)
+    n, p = 400, 4      # 400x400 block = 160k entries > 100k
+    X = rng.normal(size=(60, p))
+    y = X @ rng.normal(size=(p, 1))
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    def make(median_impl):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            theta=theta0, median="bisect", median_passes=16,
+            median_impl=median_impl, pallas_interpret=True,
+        )
+
+    a, b = make("xla"), make("fused")
+    aux_a = a.run(batch, 3)
+    aux_b = b.run(batch, 3)
+    np.testing.assert_array_equal(
+        np.asarray(aux_a["median"]), np.asarray(aux_b["median"])
+    )
+    np.testing.assert_array_equal(a.samples, b.samples)
 
 
 def test_fused_rejects_mesh():
@@ -126,3 +162,45 @@ def test_fused_rejects_int32_overflow():
         jax.eval_shape(
             lambda d: fused_warm_median_rows(d, 1.0, interpret=True), big
         )
+
+
+def test_fused_block_envelope():
+    """The fused kernel applies only in the quad-ary regime AND inside
+    VMEM; outside, callers fall back to the bitwise-equal XLA search."""
+    from stein_tpu.ops.pallas_median import fused_block_ok
+
+    assert not fused_block_ok(512, 100)       # dual-rank regime (<=100k)
+    assert fused_block_ok(512, 1000)          # bench n=1k block (2 MB)
+    assert fused_block_ok(128, 10240)         # bench n=10k block (5.2 MB)
+    assert not fused_block_ok(512, 10240)     # 20 MB > VMEM
+    assert not fused_block_ok(65536, 65536)   # int32 overflow
+
+
+def test_fused_small_block_falls_back_to_xla():
+    """Below the quad-ary regime, median_impl='fused' silently takes the
+    XLA dual-rank search — identical to median_impl='xla' by
+    construction; pin that the sampler wiring doesn't force the kernel."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(6)
+    n, p = 120, 4     # 120x120 block = 14.4k entries < 100k
+    X = rng.normal(size=(40, p))
+    y = X @ rng.normal(size=(p, 1))
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    def make(median_impl):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            theta=theta0, median="bisect", median_impl=median_impl,
+            pallas_interpret=True,
+        )
+
+    a, b = make("xla"), make("fused")
+    a.run(batch, 3)
+    b.run(batch, 3)
+    np.testing.assert_array_equal(a.samples, b.samples)
