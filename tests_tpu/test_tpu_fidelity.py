@@ -350,3 +350,38 @@ def test_fused_warm_median_bitwise_on_tpu():
                 D_sub, jnp.float32(med_prev), warm_passes=wp
             ))
             assert got == want, (n, m, wp, med_prev, got, want)
+
+
+def test_f32_fused_step_matches_f64_oracle():
+    """The fully-fused step tail (step_impl='fused' — warm median, K,
+    contractions, clip, Adam in one Mosaic kernel; bench.py's n=1k
+    configuration) vs the f64 oracle. Same tolerance class as the Pallas
+    streaming path (in-kernel matmul reduction order + exp2)."""
+    X, y, theta0 = _linreg_problem(seed=3, n_particles=384, n_feats=64)
+    ref, amb = _oracle_trajectory(X, y, theta0, 5, amb_tol=3e-3)
+    got = _tpu_trajectory(X, y, theta0, 5, median="bisect",
+                          median_passes=40, warm_median=True,
+                          warm_passes=16, step_impl="fused")
+    _assert_trajectory_close(got, ref, amb, "fused step tail", bound=5e-3)
+
+
+def test_fused_step_matches_xla_warm_on_chip():
+    """The compiled fused tail vs the XLA warm path on the REAL chip — a
+    gross-miscompile guard (wrong optimizer state, wrong contraction,
+    wrong median would derail EVERY coordinate). Almost all coordinates
+    must agree to Pallas-class tolerance; a small fraction legitimately
+    diverges by whole Adam steps (an f32 rounding difference flips
+    Adam's sign on a near-zero phi coordinate, ±2*lr*0.316 per event,
+    then compounds — measured 8/24576 = 0.03% here). The rigorous
+    fidelity bound for the fused tail is the f64-oracle test above,
+    which masks oracle-identified sign-ambiguous coordinates."""
+    X, y, theta0 = _linreg_problem(seed=4, n_particles=384, n_feats=64)
+    kw = dict(median="bisect", warm_median=True, warm_passes=6)
+    a = _tpu_trajectory(X, y, theta0, 5, **kw)
+    b = _tpu_trajectory(X, y, theta0, 5, step_impl="fused", **kw)
+    frac_bad = float(np.mean(~np.isclose(b, a, rtol=3e-3, atol=3e-3)))
+    print(f"[fidelity] fused-vs-xla flip fraction {frac_bad:.5f}")
+    assert frac_bad < 0.005, (
+        f"{frac_bad:.2%} of coordinates diverged — beyond what isolated "
+        "Adam sign-flip events explain; suspect a real fused-tail bug"
+    )
