@@ -207,3 +207,42 @@ def test_recovery_divergence_detection(tmp_path):
     b.restore(ckpt)
     assert int(b.state.step) == 3
     assert np.isfinite(b.samples).all()
+
+
+def test_save_restore_fused_step_sampler(tmp_path):
+    """Checkpoint/resume with step_impl='fused' (the bench n=1k config):
+    the fused tail carries the identical SVGDState pytree, so a restored
+    sampler must continue bit-identically through chunked run() calls
+    (each of which re-seeds the warm carry from the restored particles)."""
+    rng = np.random.default_rng(2)
+    n, p = 48, 4
+    X = rng.normal(size=(30, p))
+    y = X @ rng.normal(size=(p, 1))
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.01, jnp.float32)
+
+    def make():
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1,
+                                                     decay=0.99),
+            theta=theta0, median="bisect", warm_median=True,
+            warm_passes=6, step_impl="fused", pallas_interpret=True,
+        )
+
+    ckpt = str(tmp_path / "fused.npz")
+    a = make()
+    a.run(batch, 5)
+    a.save(ckpt)
+    a.run(batch, 5)
+
+    b = make()
+    b.restore(ckpt)
+    assert int(b.state.step) == 5
+    b.run(batch, 5)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.opt_state.mu), np.asarray(b.state.opt_state.mu)
+    )
