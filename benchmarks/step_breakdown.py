@@ -124,6 +124,17 @@ def main():
     from bench import slope_time
     t_full = slope_time(sampler, sbatch, K=1000, R=10, reps=4)
 
+    # The fused tail (step_impl='fused'): grads + HIGHEST Gram stay XLA
+    # (t_grads + the gram stage above), everything else is one kernel —
+    # its cost is full_fused - cumulative-through-gram.
+    t_fused = None
+    if n <= 1024:
+        sf, sbatch = make_sampler(
+            X, y, theta0, median="bisect", median_passes=16,
+            warm_median=True, warm_passes=6, step_impl="fused",
+        )
+        t_fused = slope_time(sf, sbatch, K=1000, R=10, reps=4)
+
     print(json.dumps({
         "bench": "step_breakdown", "n": n, "p": N_PARAMS,
         "grads_us": round(t_grads * 1e6, 2),
@@ -133,6 +144,10 @@ def main():
         "clip_adam_rest_us": round((t_full - t_phi) * 1e6, 2),
         "cumulative_phi_us": round(t_phi * 1e6, 2),
         "full_step_us": round(t_full * 1e6, 2),
+        "full_fused_step_us": (round(t_fused * 1e6, 2)
+                               if t_fused is not None else None),
+        "fused_tail_us": (round((t_fused - t_d) * 1e6, 2)
+                          if t_fused is not None else None),
     }))
 
 
