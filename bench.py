@@ -135,13 +135,13 @@ def main():
                            # (ops/median.warm_bisect_median); the
                            # sequential count kernels dominate at this n
         warm_passes=6,     # sweep (benchmarks/warm_passes_sweep.py,
-                           # production-regime metric): max per-step
-                           # median error 3.3% at 3 rounds vs 0.8% at 4
-                           # (the wide-bracket bound governs on early
-                           # fast-drift steps) — statistically invisible
-                           # for the bandwidth heuristic (the statistical
-                           # suite pins posterior quality); 2 rounds
-                           # reaches 9.7% — not taken
+                           # production-regime metric, with the
+                           # three-bracket chain): max per-step median
+                           # error 0.61% at 3 rounds vs 0.15% at 4 —
+                           # statistically invisible for the bandwidth
+                           # heuristic (the statistical suite pins
+                           # posterior quality); 2 rounds reaches 2.4%
+                           # — not taken
         median_impl="fused",  # whole warm search in ONE Pallas kernel on
                               # the VMEM-resident block — bitwise the same
                               # medians, 54.0 -> 46.5 us full step

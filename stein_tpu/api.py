@@ -61,8 +61,8 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     median_impl="fused" (median="bisect" only): run the cold quad-ary
     search as ONE Pallas kernel on the VMEM-resident block instead of
     1 + rounds sequential count kernels. Bitwise-equal: the cold search
-    IS the warm search with no hint (med_prev=0 fails both bracket
-    checks, so the verified fallback starts from the full range and the
+    IS the warm search with no hint (med_prev=0 fails every bracket
+    check, so the verified fallback starts from the full range and the
     quad-ary rounds are the same arithmetic — pinned by
     tests/test_pallas_median.py). Applies when the subsample block is in
     the quad-ary regime (> 100k entries, ops/median._bisect_search);
@@ -230,8 +230,7 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
                 D_sub, med_prev, warm_passes=warm_passes,
                 interpret=pallas_interpret,
             )
-        return _warm_search(D_sub, med_prev, warm_passes,
-                            (0.92, 1.09), (0.25, 4.0))
+        return _warm_search(D_sub, med_prev, warm_passes)
 
     def compute_med(theta, med_prev):
         return warm_med_on_block(

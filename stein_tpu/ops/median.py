@@ -26,6 +26,30 @@ import jax
 import jax.numpy as jnp
 
 
+# Tightest-first candidate brackets for the warm search, as multiples of
+# the previous step's median. [0.92, 1.09] covers typical converged drift
+# (<2%/step); [0.7, 1.4] catches the early fast-shrink phase (drift up to
+# ~30%/step) at a 5x tighter refinement than the wide fallback; [0.25, 4]
+# is the rare-jump fallback before a full cold restart. Per-step midpoint
+# error <= (hi - lo) * med / 4^rounds for whichever bracket verifies.
+DEFAULT_BRACKETS = ((0.92, 1.09), (0.7, 1.4), (0.25, 4.0))
+
+
+def select_bracket(med_prev, ends, cnts, k_c, lo_full, hi_full):
+    """Branchless tightest-valid-bracket select, shared by the XLA search
+    and the Pallas kernels (ops/pallas_median.py) so the two cannot drift
+    out of their bitwise contract: widest-first applies, tightest-last
+    overrides; a bracket is valid iff its endpoint counts provably
+    straddle the median's rank k."""
+    have_hint = med_prev > 0
+    lo0, hi0 = lo_full, hi_full
+    for (a, b), (c_a, c_b) in reversed(list(zip(ends, cnts))):
+        valid = have_hint & (c_a < k_c) & (c_b >= k_c)
+        lo0 = jnp.where(valid, a, lo0)
+        hi0 = jnp.where(valid, b, hi0)
+    return lo0, hi0
+
+
 def exact_median(D):
     """Exact median over all entries of D, matching np.median semantics."""
     return jnp.median(D)
@@ -304,34 +328,32 @@ def binned_median(theta, n_bins=4096, n_levels=2, block_rows=256,
 
 
 def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
-                       bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0)):
+                       brackets=DEFAULT_BRACKETS):
     """Branchless bisect median warm-started from the previous step's value
     — the scan fast path (r1's lax.cond variant was a measured net loss;
     this version has no data-dependent branches).
 
     SVGD particles move a small fraction of the inter-particle scale per
     step, so the median of D drifts slowly. One fused pass over the cached
-    distance block computes min, max, and the counts at 4 candidate
-    interval endpoints; a branchless select then picks the TIGHTEST
-    interval that provably brackets the median's rank:
+    distance block computes min, max, and the counts at every candidate
+    interval endpoint (DEFAULT_BRACKETS, tightest first); a branchless
+    select then picks the TIGHTEST interval that provably brackets the
+    median's rank, falling back to [min(D), max(D)] with no hint / after
+    a wild jump, followed by ceil(warm_passes/2) quad-ary rounds (2 bits
+    per sequential kernel, like _bisect_search).
 
-      [0.92, 1.09] x med_prev   (typical drift <2%/step)   -> then
-      [0.25, 4.00] x med_prev   (rare fast-drift steps)    -> else
-      [min(D), max(D)]          (no hint / wild jump)
-
-    followed by ceil(warm_passes/2) quad-ary rounds (2 bits per sequential
-    kernel, like _bisect_search). Per-step error is bounded by the final
-    interval width, width0/4^rounds: 0.17*med/4^rounds when the tight
-    bracket holds, 3.75*med/4^rounds on a wide-bracket step. Wide-bracket
-    steps are NOT rare on real trajectories — the early fast-shrink phase
-    drifts the median >8%/step, and the measured production-regime
-    per-step max errors track the WIDE bound (n=1000, 200 steps:
-    0.8% / 3.3% / 9.7% at warm_passes=8/6/4 vs wide bounds
-    1.5% / 5.9% / 23% — benchmarks/warm_passes_sweep.py). Posterior
-    effects are pinned by the statistical tests; callers needing tighter
-    per-step bandwidths raise warm_passes (in the fused kernels,
-    ops/pallas_median.py / pallas_step.py, an extra round costs ~2-6 us
-    of in-kernel VMEM passes vs a full XLA dispatch). On a true cold
+    Per-step error is bounded by the verified bracket's final width,
+    (hi - lo)*med/4^rounds: 0.17 (tight), 0.7 (mid — the early
+    fast-shrink phase, drift up to ~30%/step, which measured as the
+    binding regime on real trajectories), 3.75 (rare-jump wide). At
+    warm_passes=6 the mid-bracket bound is 1.1% of med vs 5.9% under the
+    old tight/wide-only chain (measured max 3.3% — the mid bracket
+    exists because of that measurement; benchmarks/warm_passes_sweep.py
+    has the production-regime numbers). Posterior effects are pinned by
+    the statistical tests; callers needing tighter per-step bandwidths
+    raise warm_passes (in the fused kernels, ops/pallas_median.py /
+    pallas_step.py, an extra round costs ~2-6 us of in-kernel VMEM
+    passes vs a full XLA dispatch). On a true cold
     start the bound is range/4^rounds — callers that scan
     (api.run / train_on_batches) seed the carry with a full cold
     bisect_median of the initial particles, so the cold fallback only
@@ -345,54 +367,54 @@ def warm_bisect_median(theta, med_prev, max_rows=512, warm_passes=8,
     lever (benchmarks/RESULTS.md).
     """
     D = row_subsample_block(theta, max_rows)
-    return _warm_search(D, med_prev, warm_passes, bracket, bracket_wide)
+    return _warm_search(D, med_prev, warm_passes, brackets)
 
 
 def warm_bisect_median_on_D(D, med_prev, max_rows=512, warm_passes=8,
-                            bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0)):
+                            brackets=DEFAULT_BRACKETS):
     """warm_bisect_median for callers that already materialised the full
     [n, n] D (see bisect_median_on_D)."""
     return _warm_search(_strided_rows(D, max_rows), med_prev, warm_passes,
-                        bracket, bracket_wide)
+                        brackets)
 
 
-def _warm_search(D, med_prev, warm_passes, bracket, bracket_wide,
+def _warm_search(D, med_prev, warm_passes, brackets=None,
                  axis_name=None, total=None):
     """Shared warm-bracket search. With ``axis_name`` (inside shard_map),
     ``D`` is each shard's row block of a ``total``-entry global sample:
-    counts psum (batched — ONE collective for the 4 bracket endpoints,
+    counts psum (batched — ONE collective for all bracket endpoints,
     one per quad-ary round) and the range reduces via a single batched
-    pmax of [-lo, hi], so every shard refines the same interval."""
+    pmax of [-lo, hi], so every shard refines the same interval.
+
+    ``brackets`` is the tightest-first chain of candidate intervals
+    (multiples of med_prev); the tightest whose endpoint counts provably
+    bracket the median's rank wins, else the full range."""
+    if brackets is None:
+        brackets = DEFAULT_BRACKETS
     if total is None:
         total = D.size
     k = (total + 1) // 2
     cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
     k_c = jnp.asarray(k, cdt)
 
-    # Pass 1 (one read of D, XLA fuses all six reductions): global range
-    # + the four candidate endpoint counts.
-    a1 = bracket[0] * med_prev
-    b1 = bracket[1] * med_prev
-    a2 = bracket_wide[0] * med_prev
-    b2 = bracket_wide[1] * med_prev
+    # Pass 1 (one read of D, XLA fuses all the reductions): global range
+    # + every candidate endpoint count.
+    ends = [(lo * med_prev, hi * med_prev) for lo, hi in brackets]
     lo_full = jnp.minimum(jnp.min(D), 0.0)
     hi_full = jnp.max(D)
-    c_a1 = jnp.sum(D <= a1, dtype=cdt)
-    c_b1 = jnp.sum(D <= b1, dtype=cdt)
-    c_a2 = jnp.sum(D <= a2, dtype=cdt)
-    c_b2 = jnp.sum(D <= b2, dtype=cdt)
+    cnts = [
+        (jnp.sum(D <= a, dtype=cdt), jnp.sum(D <= b, dtype=cdt))
+        for a, b in ends
+    ]
     if axis_name is not None:
         mm = jax.lax.pmax(jnp.stack([-lo_full, hi_full]), axis_name)
         lo_full, hi_full = -mm[0], mm[1]
-        c_a1, c_b1, c_a2, c_b2 = jax.lax.psum(
-            jnp.stack([c_a1, c_b1, c_a2, c_b2]), axis_name
+        flat = jax.lax.psum(
+            jnp.stack([c for pair in cnts for c in pair]), axis_name
         )
+        cnts = [(flat[2 * i], flat[2 * i + 1]) for i in range(len(cnts))]
 
-    have_hint = med_prev > 0
-    valid1 = have_hint & (c_a1 < k_c) & (c_b1 >= k_c)
-    valid2 = have_hint & (c_a2 < k_c) & (c_b2 >= k_c)
-    lo0 = jnp.where(valid1, a1, jnp.where(valid2, a2, lo_full))
-    hi0 = jnp.where(valid1, b1, jnp.where(valid2, b2, hi_full))
+    lo0, hi0 = select_bracket(med_prev, ends, cnts, k_c, lo_full, hi_full)
 
     rounds = (warm_passes + 1) // 2
 
@@ -454,8 +476,7 @@ def sharded_bisect_median(theta_loc, theta_all, axis_name, max_rows=512,
 
 def sharded_warm_bisect_median(theta_loc, theta_all, med_prev, axis_name,
                                max_rows=512, warm_passes=8,
-                               bracket=(0.92, 1.09),
-                               bracket_wide=(0.25, 4.0)):
+                               brackets=DEFAULT_BRACKETS):
     """Distributed warm_bisect_median for the all-gather sharded step:
     the same branchless verified-bracket search (see warm_bisect_median's
     error bounds), with every count/range reduction psum'd across the
@@ -465,14 +486,13 @@ def sharded_warm_bisect_median(theta_loc, theta_all, med_prev, axis_name,
     warm search on the same particles (identical counts -> identical
     interval arithmetic)."""
     D, total = _sharded_row_block(theta_loc, theta_all, axis_name, max_rows)
-    return _warm_search(D, med_prev, warm_passes, bracket, bracket_wide,
+    return _warm_search(D, med_prev, warm_passes, brackets,
                         axis_name=axis_name, total=total)
 
 
 def sharded_warm_bisect_median_on_D(D_rows, med_prev, axis_name,
                                     max_rows=512, warm_passes=8,
-                                    bracket=(0.92, 1.09),
-                                    bracket_wide=(0.25, 4.0)):
+                                    brackets=DEFAULT_BRACKETS):
     """sharded_warm_bisect_median for callers that already materialised
     their local [n_loc, n] distance rows (the sharded XLA tile path):
     counts run on the same strided local-row subsample the theta-based
@@ -480,9 +500,8 @@ def sharded_warm_bisect_median_on_D(D_rows, med_prev, axis_name,
     matmul."""
     n_loc, n = D_rows.shape
     idx, m_global = _local_row_idx(n_loc, axis_name, max_rows)
-    return _warm_search(D_rows[idx], med_prev, warm_passes, bracket,
-                        bracket_wide, axis_name=axis_name,
-                        total=m_global * n)
+    return _warm_search(D_rows[idx], med_prev, warm_passes, brackets,
+                        axis_name=axis_name, total=m_global * n)
 
 
 def _sharded_bisect_on_rows(Ds, axis_name, total, passes):

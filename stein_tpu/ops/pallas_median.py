@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .median import DEFAULT_BRACKETS, select_bracket
+
 
 def fused_block_ok(m, n):
     """Whether the fused single-kernel search applies to an [m, n] block:
@@ -42,7 +44,7 @@ def fused_block_ok(m, n):
     return 100_000 < total < 2 ** 31 and 4 * total <= 12 * 2 ** 20
 
 
-def warm_search_on_value(D, med_prev, *, k, rounds, bracket, bracket_wide):
+def warm_search_on_value(D, med_prev, *, k, rounds, brackets):
     """The warm-bracket search as in-kernel value code: D is a loaded
     (VMEM-resident) block, med_prev a scalar. Shared by the standalone
     fused-median kernel below and the fully-fused small-n step kernel
@@ -54,25 +56,16 @@ def warm_search_on_value(D, med_prev, *, k, rounds, bracket, bracket_wide):
     def count_le(t):
         return jnp.sum((D <= t).astype(jnp.int32))
 
-    # Bracket pass: global range + the four candidate endpoint counts
-    # (ops/median._warm_search pass 1 — here all six reductions happen on
+    # Bracket pass: global range + every candidate endpoint count
+    # (ops/median._warm_search pass 1 — here all the reductions happen on
     # the VMEM-resident block with no extra dispatches).
-    a1 = bracket[0] * med_prev
-    b1 = bracket[1] * med_prev
-    a2 = bracket_wide[0] * med_prev
-    b2 = bracket_wide[1] * med_prev
+    ends = [(lo * med_prev, hi * med_prev) for lo, hi in brackets]
     lo_full = jnp.minimum(jnp.min(D), 0.0)
     hi_full = jnp.max(D)
-    c_a1 = count_le(a1)
-    c_b1 = count_le(b1)
-    c_a2 = count_le(a2)
-    c_b2 = count_le(b2)
-
-    have_hint = med_prev > 0
-    valid1 = have_hint & (c_a1 < k_c) & (c_b1 >= k_c)
-    valid2 = have_hint & (c_a2 < k_c) & (c_b2 >= k_c)
-    lo0 = jnp.where(valid1, a1, jnp.where(valid2, a2, lo_full))
-    hi0 = jnp.where(valid1, b1, jnp.where(valid2, b2, hi_full))
+    cnts = [(count_le(a), count_le(b)) for a, b in ends]
+    # THE shared select (ops/median.select_bracket) — one copy, so the
+    # kernel cannot drift out of its bitwise contract with the XLA search.
+    lo0, hi0 = select_bracket(med_prev, ends, cnts, k_c, lo_full, hi_full)
 
     def body(_, carry):
         lo, hi = carry
@@ -89,21 +82,18 @@ def warm_search_on_value(D, med_prev, *, k, rounds, bracket, bracket_wide):
     return 0.5 * (lo + hi)
 
 
-def _warm_kernel(med_ref, D_ref, out_ref, *, k, rounds, bracket,
-                 bracket_wide):
+def _warm_kernel(med_ref, D_ref, out_ref, *, k, rounds, brackets):
     out_ref[0] = warm_search_on_value(
-        D_ref[:], med_ref[0], k=k, rounds=rounds, bracket=bracket,
-        bracket_wide=bracket_wide,
+        D_ref[:], med_ref[0], k=k, rounds=rounds, brackets=brackets,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("warm_passes", "bracket", "bracket_wide", "interpret"),
+    static_argnames=("warm_passes", "brackets", "interpret"),
 )
 def fused_warm_median_rows(D_sub, med_prev, warm_passes=8,
-                           bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0),
-                           interpret=False):
+                           brackets=DEFAULT_BRACKETS, interpret=False):
     """Warm median of the (already row-subsampled) distance block in ONE
     Pallas kernel. Drop-in, bitwise-equal replacement for
     ``ops.median._warm_search(D_sub, med_prev, warm_passes, ...)`` on a
@@ -134,7 +124,7 @@ def fused_warm_median_rows(D_sub, med_prev, warm_passes=8,
     med = jnp.asarray(med_prev).astype(f32).reshape(1)
     out = pl.pallas_call(
         functools.partial(_warm_kernel, k=k, rounds=rounds,
-                          bracket=bracket, bracket_wide=bracket_wide),
+                          brackets=brackets),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # med_prev
             pl.BlockSpec(memory_space=pltpu.VMEM),   # D_sub

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .median import DEFAULT_BRACKETS
 from .pallas_median import warm_search_on_value
 
 _LOG2E_HALF = -1.4426950408889634 / 2.0
@@ -46,8 +47,8 @@ def fused_step_vmem_bytes(n, p, m):
     return 4 * (2 * n * n + m_extra * n + 8 * n * p)
 
 
-def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, bracket,
-                 bracket_wide, n_particles):
+def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
+                 n_particles):
     (n_scalar_in, n_array_in, treedef, scalar_pos, share_dsub) = meta
     # in refs: med, *opt_scalars, D, [Dsub], theta, grads, *opt_arrays
     # out refs: new_theta, *new_opt_arrays, *new_opt_scalars, stats
@@ -73,8 +74,7 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, bracket,
     f32 = jnp.float32
 
     med = warm_search_on_value(
-        Dsub_ref[:], med_ref[0], k=k, rounds=rounds, bracket=bracket,
-        bracket_wide=bracket_wide,
+        Dsub_ref[:], med_ref[0], k=k, rounds=rounds, brackets=brackets,
     )
     h2 = med / jnp.log(jnp.asarray(n_particles, f32))
 
@@ -118,8 +118,7 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, bracket,
 
 def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                          max_phi_norm=10.0, warm_passes=8,
-                         bracket=(0.92, 1.09), bracket_wide=(0.25, 4.0),
-                         interpret=False):
+                         brackets=DEFAULT_BRACKETS, interpret=False):
     """One-kernel step tail. Returns (new_theta, new_opt_state,
     (med, phi_norm, h2)).
 
@@ -173,7 +172,7 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     kernel = functools.partial(
         _tail_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
         k=(total + 1) // 2, rounds=(warm_passes + 1) // 2,
-        bracket=bracket, bracket_wide=bracket_wide, n_particles=n,
+        brackets=brackets, n_particles=n,
     )
     dsub_arg = () if share_dsub else (D_sub,)
     outs = pl.pallas_call(

@@ -176,7 +176,7 @@ def test_warm_bisect_median():
                                     jnp.float64(exact * 2.5),
                                     max_rows=256, warm_passes=8))
     assert abs(wide - exact) / exact < 0.05
-    # No hint (0) or a wildly wrong one (>4x): both brackets fail their
+    # No hint (0) or a wildly wrong one (>4x): every bracket fails its
     # count check and the search runs branchlessly from the full range —
     # exact given enough passes.
     cold = float(warm_bisect_median(jnp.asarray(theta), jnp.float64(0.0),

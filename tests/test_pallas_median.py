@@ -27,12 +27,14 @@ def test_fused_equals_xla_warm_search(n, m, warm_passes):
     D_sub = _block(n, m)
     ref_med = float(_warm_search(
         D_sub, jnp.float32(0.0), warm_passes,
-        (0.92, 1.09), (0.25, 4.0),
     ))
-    for med_prev in (0.0, ref_med, 0.5 * ref_med, 10.0 * ref_med):
+    # Hints chosen to land in EVERY bracket regime: exact (tight),
+    # 0.8x / 1.25x (mid — the fast-shrink band), 0.5x (wide), 10x
+    # (full-range fallback), 0.0 (cold).
+    for med_prev in (0.0, ref_med, 0.8 * ref_med, 1.25 * ref_med,
+                     0.5 * ref_med, 10.0 * ref_med):
         want = float(_warm_search(
             D_sub, jnp.float32(med_prev), warm_passes,
-            (0.92, 1.09), (0.25, 4.0),
         ))
         got = float(fused_warm_median_rows(
             D_sub, jnp.float32(med_prev), warm_passes=warm_passes,

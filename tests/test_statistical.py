@@ -98,8 +98,8 @@ def test_bimodal_1d_mass_split():
 
 
 def test_warm_median_posterior_statistically_equal():
-    """The warm search's per-step bandwidth error (up to the wide-bracket
-    bound ~5.9% at warm_passes=6 on fast-drift steps — see
+    """The warm search's per-step bandwidth error (up to the binding-bracket
+    bound ~1.1% at warm_passes=6 on fast-drift steps — see
     benchmarks/RESULTS.md) must be STATISTICALLY invisible: warm and cold
     trajectories from the same init converge to the same posterior
     moments, even though the trajectories themselves diverge chaotically."""
