@@ -257,3 +257,57 @@ def test_bisect_quad_branch_accuracy():
     assert abs(med - exact) / exact < 1e-6
     med16 = float(bisect_median(jnp.asarray(theta), max_rows=512, passes=16))
     assert abs(med16 - exact) / exact < 1e-3
+
+
+def test_warm_search_error_bound_property():
+    """Property pin for the warm-bracket search: the k-th order statistic
+    stays inside the count-verified interval through every quad-ary
+    round, so |result - exact_k| <= binding_width / 4^rounds / 2 for the
+    TIGHTEST bracket that verified (or the full range). Checked across
+    random scales, shapes, and hint regimes — including hints that land
+    in each bracket band and invalid hints that must fall through."""
+    import numpy as np
+    from stein_tpu.ops.median import DEFAULT_BRACKETS, _warm_search
+
+    rng = np.random.default_rng(0)
+    for trial in range(12):
+        m = int(rng.integers(8, 64))
+        n = int(rng.integers(32, 256))
+        scale = 10.0 ** rng.uniform(-3, 3)
+        kind = trial % 3
+        if kind == 0:
+            block = rng.lognormal(0.0, 1.0, size=(m, n)) * scale
+        elif kind == 1:   # bimodal
+            block = np.where(rng.random((m, n)) < 0.5,
+                             rng.normal(1.0, 0.05, (m, n)),
+                             rng.normal(50.0, 1.0, (m, n))) * scale
+        else:             # near-constant (tiny range)
+            block = (1.0 + rng.normal(0, 1e-4, (m, n))) * scale
+        block = np.abs(block).astype(np.float32)
+        D = jnp.asarray(block)
+        total = m * n
+        k = (total + 1) // 2
+        exact_k = float(np.partition(block.ravel(), k - 1)[k - 1])
+        lo_full = min(float(block.min()), 0.0)
+        hi_full = float(block.max())
+
+        for mult in (1.0, 0.8, 1.25, 0.5, 3.9, 100.0, 0.0):
+            med_prev = np.float32(mult * exact_k)
+            warm_passes = int(rng.choice([4, 6, 8]))
+            rounds = (warm_passes + 1) // 2
+            got = float(_warm_search(D, jnp.float32(med_prev),
+                                     warm_passes))
+            # Recompute which bracket verifies (tightest first).
+            width = hi_full - lo_full
+            if med_prev > 0:
+                flat = block.ravel()
+                for a_m, b_m in DEFAULT_BRACKETS:
+                    a, b = a_m * med_prev, b_m * med_prev
+                    if (np.sum(flat <= a) < k) and (np.sum(flat <= b) >= k):
+                        width = b - a
+                        break
+            bound = width / 4.0 ** rounds / 2.0
+            err = abs(got - exact_k)
+            assert err <= bound * (1 + 1e-5) + 1e-30, (
+                trial, mult, warm_passes, err, bound
+            )
