@@ -149,7 +149,8 @@ def main():
         step_impl="fused",    # ... and then the ENTIRE post-gradient tail
                               # (median -> K -> contraction -> clip ->
                               # Adam) in ONE kernel: 46.2 -> 27.7 us
-                              # (36.1M updates/s) — gradients + HIGHEST
+                              # within one batch (stable mode ~33.5 us
+                              # = 29.8M updates/s) — gradients + HIGHEST
                               # Gram stay in XLA, D numerics unchanged
                               # (benchmarks/fused_step_bench.py)
     )
