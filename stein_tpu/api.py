@@ -440,11 +440,12 @@ class SVGDSampler:
     kernel_impl : "xla" | "pallas". "pallas" (the large-n streaming kernel)
         requires a median mode that does not materialise D, i.e. not
         "exact".
-    pallas_precision : "f32" (default) | "bf16" — matmul input precision
-        inside the Pallas tiles (accumulation is always f32). bf16 triples
-        the nominal MXU rate at ~1e-2 relative kernel error, but the
-        streaming tile is exp/VPU-bound on v5e, where it measured no
-        faster — kept as an opt-in for MXU-bound shapes (large p).
+    pallas_precision : "f32" (default) | "bf16" — requested matmul input
+        precision inside the Pallas tiles (accumulation always f32). On
+        the deployed toolchain this is a measured NO-OP: Mosaic folds
+        the bf16 casts away (bitwise-identical output and timing to
+        f32, probed 2026-08-17) — kept for toolchains that honour
+        operand dtypes.
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh

@@ -35,9 +35,12 @@ def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
                       gt_j_ref, both_ref, ksum_ref, *, mxu_dtype):
     """One (i, j) tile: D -> K -> [K@[G|T], row-sums], accumulated over j.
 
-    mxu_dtype controls the matmul input precision: float32 (default) or
-    bfloat16 (~3x MXU rate; Gram entries lose ~1e-2 relative, which the
-    /h^2-normalised kernel tolerates — opt-in via precision='bf16')."""
+    mxu_dtype was meant to control matmul input precision (bfloat16 for
+    ~3x MXU rate), but on the deployed toolchain Mosaic FOLDS the casts
+    away: precision='bf16' measured BITWISE-identical output to 'f32'
+    (2026-08-17), so the option is a no-op here; kept for toolchains
+    that honour operand dtypes. The r1 "bf16 slower by 11%" reading was
+    tunnel noise between identical programs."""
     j = pl.program_id(1)
     n_valid = n_ref[0]
     bj = gt_j_ref.shape[0]
@@ -168,12 +171,12 @@ def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
     """Fused SVGD direction phi for [n, p] particles/gradients.
 
     Matches ops/rbf.svgd_phi's output up to matmul reduction order and
-    the tile's exp2 exponential (~2.7e-7 rel, see _svgd_tile_kernel)
-    (precision='f32'); precision='bf16' runs the two tile matmuls
-    with bfloat16 inputs / f32 accumulation for ~3x MXU rate at ~1e-2
-    relative kernel error. n and p are unconstrained (rows are zero-padded
-    to the block size and masked inside the kernel; Mosaic handles
-    non-128 p).
+    the tile's exp2 exponential (~2.7e-7 rel, see _svgd_tile_kernel).
+    precision='bf16' requests bfloat16 matmul inputs but is a measured
+    NO-OP on the deployed toolchain (Mosaic folds the casts — bitwise
+    equal to 'f32'); see _svgd_tile_kernel. n and p are unconstrained
+    (rows are zero-padded to the block size and masked inside the
+    kernel; Mosaic handles non-128 p).
     """
     n = theta.shape[0]
     # Reproduce the historic square-path block choice exactly: both block
