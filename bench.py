@@ -110,9 +110,18 @@ def make_sampler(X, y, theta0, **sampler_kwargs):
     return sampler, batch
 
 
-def bench_jax(X, y, theta0, K=200, R=4, reps=3, **sampler_kwargs):
+def bench_jax(X, y, theta0, K=200, R=4, reps=3, measures=3,
+              **sampler_kwargs):
+    """Median of ``measures`` independent slope measurements: single
+    slope readings from this tunnel can be 2-3x outliers in either
+    direction (benchmarks/RESULTS.md variance caveat), and the driver
+    records ONE bench.py run — the median de-noises what it sees."""
     sampler, batch = make_sampler(X, y, theta0, **sampler_kwargs)
-    return slope_time(sampler, batch, K=K, R=R, reps=reps)
+    ts = sorted(
+        slope_time(sampler, batch, K=K, R=R, reps=reps)
+        for _ in range(measures)
+    )
+    return ts[len(ts) // 2]
 
 
 def main():
