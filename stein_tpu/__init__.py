@@ -8,7 +8,12 @@ device mesh with psum/all-gather collectives.
 """
 
 from .version import __version__
-from .api import SVGDSampler, SVGDState, SteinSampler
+from .api import (
+    SVGDSampler,
+    SVGDState,
+    SteinSampler,
+    throughput_config,
+)
 from .ops.optimizers import (
     Adam,
     Adagrad,
@@ -22,6 +27,7 @@ __all__ = [
     "SVGDSampler",
     "SVGDState",
     "SteinSampler",
+    "throughput_config",
     "Adam",
     "Adagrad",
     "AdamGradientDescent",

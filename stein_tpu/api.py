@@ -414,6 +414,55 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
     return step_fn, init_med
 
 
+def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
+                      dtype=jnp.float32):
+    """Measured-best sampler options for production throughput — the
+    decision tree from benchmarks/RESULTS.md as a kwargs dict to splat
+    into SVGDSampler next to the model arguments:
+
+        cfg = throughput_config(n, p)
+        sampler = SVGDSampler(n, log_p, template, gd, **cfg)
+
+    Selections (all preserve reference semantics within the documented
+    tolerance classes): sort-free bisect median + the scan-carried warm
+    search everywhere; the fully-fused step tail when (n, p) fits VMEM
+    (single device, f32); otherwise the single-kernel fused median, plus
+    the Pallas streaming tile at large n. The fused kernels and the
+    Pallas tile compute in f32, so non-f32 dtypes keep the all-XLA path
+    at the requested precision. Mesh configs stay on the psum'd searches
+    (the fused kernels are single-device); pass ``model_axis`` for a 2-D
+    (particles x model) mesh, whose step tiles the model axis with its
+    own XLA path. Use the scan APIs (run / train_on_batches) —
+    single-step calls are dispatch-latency-bound regardless of config."""
+    f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+    cfg = dict(median="bisect", warm_median=True, dtype=dtype)
+    large = n_particles >= 4096
+    if large:
+        # 128-row median subsample: <1% median error (validated at
+        # n=10240), 4x less count bandwidth, inside the fused kernel's
+        # VMEM envelope up to n~24k.
+        cfg.update(median_max_rows=128)
+    if mesh is not None:
+        cfg["mesh"] = mesh
+        if model_axis is not None:
+            cfg["model_axis"] = model_axis
+        elif large and f32:
+            # 1-D particle meshes only (the 2-D step is XLA-tiled), and
+            # the streaming tile computes in f32.
+            cfg.update(kernel_impl="pallas", pallas_block=1024)
+        return cfg
+    if f32:
+        from .ops.pallas_step import fused_step_fits
+        if fused_step_fits(n_particles, n_params,
+                           cfg.get("median_max_rows", 512)):
+            cfg.update(step_impl="fused", median_impl="fused")
+            return cfg
+        cfg["median_impl"] = "fused"
+        if large:
+            cfg.update(kernel_impl="pallas", pallas_block=1024)
+    return cfg
+
+
 class SVGDSampler:
     """Stein variational gradient descent on TPU.
 
@@ -607,7 +656,11 @@ class SVGDSampler:
             if step_impl not in ("xla", "fused"):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl == "fused":
-                from .ops.pallas_step import fused_step_vmem_bytes
+                from .ops.pallas_step import (
+                    FUSED_STEP_VMEM_BUDGET,
+                    fused_step_fits,
+                    fused_step_vmem_bytes,
+                )
                 if not warm_median:
                     raise ValueError(
                         "step_impl='fused' fuses the warm-median scan "
@@ -621,17 +674,19 @@ class SVGDSampler:
                     )
                 if dtype != jnp.float32:
                     raise ValueError("step_impl='fused' is f32-only")
-                vb = fused_step_vmem_bytes(
-                    self.n_particles, self.n_params,
-                    min(median_max_rows, self.n_particles),
-                )
-                if vb > 14 * 2 ** 20:
+                if not fused_step_fits(self.n_particles, self.n_params,
+                                       median_max_rows):
+                    vb = fused_step_vmem_bytes(
+                        self.n_particles, self.n_params,
+                        min(median_max_rows, self.n_particles),
+                    )
                     raise ValueError(
                         f"step_impl='fused' needs ~{vb / 2**20:.0f} MiB "
-                        "of VMEM for this (n_particles, n_params) — above "
-                        "the ~14 MiB budget of a 16 MiB/core chip; use "
-                        "the unfused path (kernel_impl='pallas' for "
-                        "large n)"
+                        "of VMEM for this (n_particles, n_params) — "
+                        "above the ~"
+                        f"{FUSED_STEP_VMEM_BUDGET / 2**20:.0f} MiB "
+                        "budget of a 16 MiB/core chip; use the unfused "
+                        "path (kernel_impl='pallas' for large n)"
                     )
             if warm_median:
                 if median != "bisect" or kernel is not None:

@@ -39,12 +39,26 @@ from .pallas_median import warm_search_on_value
 _LOG2E_HALF = -1.4426950408889634 / 2.0
 
 
+# VMEM the fused tail may plan for on a 16 MiB/core chip (leaves head-
+# room for Mosaic's own temporaries). THE budget — shared by the
+# constructor guard and throughput_config via fused_step_fits.
+FUSED_STEP_VMEM_BUDGET = 14 * 2 ** 20
+
+
 def fused_step_vmem_bytes(n, p, m):
     """Rough live-buffer bound for the fused tail (D + K + median block +
     the [n, p] in/out arrays), used by callers to gate the option. When
     m >= n the median block IS D (staged once), so it adds nothing."""
     m_extra = 0 if m >= n else m
     return 4 * (2 * n * n + m_extra * n + 8 * n * p)
+
+
+def fused_step_fits(n, p, median_max_rows=512):
+    """Whether the fused step tail fits VMEM for this problem size — the
+    single predicate behind both the SVGDSampler guard and
+    api.throughput_config."""
+    m = min(median_max_rows, n)
+    return fused_step_vmem_bytes(n, p, m) <= FUSED_STEP_VMEM_BUDGET
 
 
 def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,

@@ -265,3 +265,64 @@ def test_remat_matches_plain():
         a.train_on_batch(batch)
         b.train_on_batch(batch)
     np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_throughput_config_decision_tree():
+    """throughput_config encodes the measured decision tree and every
+    branch produces a constructible sampler."""
+    from jax.sharding import Mesh
+    from stein_tpu import throughput_config
+    from stein_tpu.models import LinearRegressionModel
+
+    # Small n, f32: fully-fused tail.
+    cfg = throughput_config(1000, 128)
+    assert cfg["step_impl"] == "fused" and cfg["median_impl"] == "fused"
+    # Large n, f32: Pallas tile + fused median + 128-row subsample.
+    cfg = throughput_config(10240, 128)
+    assert cfg.get("kernel_impl") == "pallas"
+    assert cfg["median_impl"] == "fused"
+    assert cfg["median_max_rows"] == 128
+    assert "step_impl" not in cfg
+    # Non-f32 (incl. string spellings): no fused/Pallas f32 kernels at
+    # any size — the all-XLA path keeps the requested precision.
+    for dt in (jnp.float64, "float64"):
+        cfg = throughput_config(10240, 128, dtype=dt)
+        assert "step_impl" not in cfg and "median_impl" not in cfg
+        assert "kernel_impl" not in cfg
+    # String f32 spelling still gets the fused path.
+    assert throughput_config(1000, 128,
+                             dtype="float32")["step_impl"] == "fused"
+    # Mesh: psum'd searches only; 2-D meshes never get the Pallas tile.
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
+    cfg = throughput_config(8192, 64, mesh=mesh)
+    assert "median_impl" not in cfg and "step_impl" not in cfg
+    assert cfg["mesh"] is mesh and cfg.get("kernel_impl") == "pallas"
+    mesh2d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                  ("particles", "model"))
+    cfg2d = throughput_config(8192, 64, mesh=mesh2d, model_axis="model")
+    assert "kernel_impl" not in cfg2d and cfg2d["model_axis"] == "model"
+
+    # EVERY branch constructs a sampler (construction runs the full
+    # option-validation chain; jit compilation is lazy so this is cheap),
+    # and the two small ones also run end-to-end.
+    model = LinearRegressionModel(4)
+
+    def construct(n, cfg, p=4):
+        cfg = dict(cfg, pallas_interpret=True)
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=LinearRegressionModel(p).template(cfg["dtype"]),
+            gd=Adam(learning_rate=1e-1), **cfg,
+        ), cfg
+
+    construct(4096, throughput_config(4096, 4))          # large-n branch
+    construct(8192, throughput_config(8192, 4, mesh=mesh))      # 1-D mesh
+    construct(8192, throughput_config(8192, 4, mesh=mesh2d,
+                                      model_axis="model"))      # 2-D mesh
+    for n, base in ((64, throughput_config(64, 4)),
+                    (64, throughput_config(64, 4, dtype=jnp.float64))):
+        s, cfg = construct(n, base)
+        X = np.ones((8, 4))
+        batch = {"X": jnp.asarray(X, cfg["dtype"]),
+                 "y": jnp.asarray(X @ np.ones((4, 1)), cfg["dtype"])}
+        s.run(batch, 2)
