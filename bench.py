@@ -115,13 +115,23 @@ def bench_jax(X, y, theta0, K=200, R=4, reps=3, measures=3,
     """Median of ``measures`` independent slope measurements: single
     slope readings from this tunnel can be 2-3x outliers in either
     direction (benchmarks/RESULTS.md variance caveat), and the driver
-    records ONE bench.py run — the median de-noises what it sees."""
-    sampler, batch = make_sampler(X, y, theta0, **sampler_kwargs)
-    ts = sorted(
-        slope_time(sampler, batch, K=K, R=R, reps=reps)
-        for _ in range(measures)
-    )
-    return ts[len(ts) // 2]
+    records ONE bench.py run — the median de-noises what it sees.
+    One retry on transient tunnel faults (remote_compile HTTP 500s
+    happen; losing the whole metric to one hiccup is worse than a
+    loudly-logged second attempt)."""
+    for attempt in (1, 2):
+        try:
+            sampler, batch = make_sampler(X, y, theta0, **sampler_kwargs)
+            ts = sorted(
+                slope_time(sampler, batch, K=K, R=R, reps=reps)
+                for _ in range(measures)
+            )
+            return ts[len(ts) // 2]
+        except Exception as e:  # noqa: BLE001 — tunnel faults are opaque
+            if attempt == 2:
+                raise
+            print(f"bench: attempt 1 failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); retrying once", file=sys.stderr)
 
 
 def main():
