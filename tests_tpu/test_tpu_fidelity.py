@@ -385,3 +385,44 @@ def test_fused_step_matches_xla_warm_on_chip():
         f"{frac_bad:.2%} of coordinates diverged — beyond what isolated "
         "Adam sign-flip events explain; suspect a real fused-tail bug"
     )
+
+
+def test_fused_step_posterior_statistics_on_chip():
+    """End-to-end statistical correctness of the PRODUCTION config
+    (throughput_config -> fused step tail) on the real chip: 1500 steps
+    of Bayesian linear regression must land on the conjugate posterior
+    (the 5-step trajectory tests above pin numerics; this pins that the
+    deployed fast path actually SAMPLES correctly)."""
+    from stein_tpu import Adam, SVGDSampler, throughput_config
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(11)
+    n, p, n_obs = 512, 8, 256
+    X = rng.normal(size=(n_obs, p))
+    w_true = rng.normal(size=(p, 1))
+    y = X @ w_true + rng.normal(size=(n_obs, 1)) * 0.5
+
+    cfg = throughput_config(n, p)
+    assert cfg["step_impl"] == "fused"   # the config under test
+    model = LinearRegressionModel(p)
+    s = SVGDSampler(
+        n_particles=n, log_p=model.log_p, param_template=model.template(),
+        gd=Adam(learning_rate=5e-2), key=jax.random.PRNGKey(0), **cfg,
+    )
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    s.run(batch, 1500)
+    samples = s.samples
+
+    # Conjugate posterior: A = X^T X + I, mean = A^-1 X^T y, cov = A^-1.
+    A = X.T @ X + np.eye(p)
+    cov = np.linalg.inv(A)
+    mean = cov @ (X.T @ y)
+    mc = np.sqrt(np.diag(cov) / n)
+    err = np.abs(samples.mean(axis=0) - mean.ravel())
+    print(f"[fidelity] fused-step posterior: mean max err {err.max():.2e} "
+          f"(MC scale {mc.max():.2e}); "
+          f"var ratio {(samples.var(axis=0) / np.diag(cov)).round(2)}")
+    assert err.max() < 6 * mc.max(), (err.max(), mc.max())
+    ratio = samples.var(axis=0) / np.diag(cov)
+    assert np.all(ratio > 0.5) and np.all(ratio < 1.6), ratio
