@@ -63,3 +63,25 @@ def test_ksd_decreases_under_svgd():
     assert ksd_final < ksd_init / 10
     # V-statistic KSD^2 is nonnegative.
     assert ksd_final >= 0
+
+
+def test_streaming_ksd_matches_dense(monkeypatch):
+    """Above KSD_DENSE_MAX_N ksd_rbf streams row blocks (peak memory
+    O(block_rows x n) instead of six [n, n] arrays); the streamed sum
+    must equal the dense form — same arithmetic, different matmul
+    partitioning. Forced here by lowering the threshold; includes an
+    n not divisible by block_rows (remainder path) and both statistics."""
+    from stein_tpu.ops import diagnostics
+
+    rng = np.random.default_rng(2)
+    for n in (64, 71):
+        theta = jnp.asarray(rng.normal(size=(n, 5)))
+        grads = jnp.asarray(rng.normal(size=(n, 5)))
+        for u in (False, True):
+            for h2 in (None, jnp.float64(2.3)):
+                dense = float(ksd_rbf(theta, grads, h2=h2, u_statistic=u))
+                monkeypatch.setattr(diagnostics, "KSD_DENSE_MAX_N", 16)
+                blocked = float(ksd_rbf(theta, grads, h2=h2,
+                                        u_statistic=u, block_rows=16))
+                monkeypatch.undo()
+                np.testing.assert_allclose(blocked, dense, rtol=1e-12)
