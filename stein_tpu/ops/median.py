@@ -89,6 +89,18 @@ def row_subsample_block(theta, max_rows=512):
     return _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
 
 
+def subsample_rows(theta, max_rows=512):
+    """The exact rows row_subsample_block's policy selects, WITHOUT the
+    distance block — for callers that compute the block elsewhere (the
+    fused_gram step tail computes it in-kernel). Returns None when every
+    row is kept (n <= max_rows)."""
+    n = theta.shape[0]
+    if n <= max_rows:
+        return None
+    stride = n // max_rows
+    return theta[jnp.arange(max_rows) * stride]
+
+
 def subsampled_sq_dist_median(theta, max_rows=512):
     """Exact median of the squared-distance sub-matrix D[idx, :] for a
     deterministic strided row subset idx. Never materialises full D.
@@ -539,6 +551,68 @@ def sharded_bisect_median_on_D(D_rows, axis_name, max_rows=512, passes=30):
     idx, m_global = _local_row_idx(n_loc, axis_name, max_rows)
     return _sharded_bisect_on_rows(D_rows[idx], axis_name,
                                    m_global * n, passes)
+
+
+def ring_median_block(theta_loc, axis_name, max_rows=512):
+    """Each shard's strided LOCAL-row subsample against ALL global
+    columns, assembled by ring circulation (ppermute) instead of an
+    all-gather — the ring layout's analogue of _sharded_row_block, with
+    peak per-device extra footprint O(m_loc x n) for m_loc ~ max_rows /
+    n_dev rows (a few MB) instead of the all-gather's O(n x p).
+
+    Columns are written at their source shard's offset, so the block
+    holds exactly the same entries as the all-gather block — and since
+    threshold counts are order-invariant sums, every bisect/warm search
+    on it is BITWISE-equal to its all-gather counterpart (same strided
+    rows via _local_row_idx, same per-entry HIGHEST-precision dot).
+
+    Returns (D_block [m_loc, n], total_global_entries)."""
+    n_dev = jax.lax.axis_size(axis_name)
+    n_loc = theta_loc.shape[0]
+    n = n_loc * n_dev
+    idx, m_global = _local_row_idx(n_loc, axis_name, max_rows)
+    rows = theta_loc[idx]
+    rsq_rows = jnp.sum(rows * rows, axis=1)
+    rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
+    my = jax.lax.axis_index(axis_name)
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    def body(r, carry):
+        D, blk, blk_rsq = carry
+        src = (my - r) % n_dev        # whose block we hold at rotation r
+        D_blk = _row_block_sq_dists(rows, blk, rsq_rows, blk_rsq)
+        col0 = (src * n_loc).astype(jnp.int32)
+        D = jax.lax.dynamic_update_slice(
+            D, D_blk, (jnp.zeros((), jnp.int32), col0)
+        )
+        blk = jax.lax.ppermute(blk, axis_name, perm)
+        blk_rsq = jax.lax.ppermute(blk_rsq, axis_name, perm)
+        return D, blk, blk_rsq
+
+    D0 = jnp.zeros((rows.shape[0], n), theta_loc.dtype)
+    D, _, _ = jax.lax.fori_loop(
+        0, n_dev, body, (D0, theta_loc, rsq_loc)
+    )
+    return D, m_global * n
+
+
+def ring_bisect_median(theta_loc, axis_name, max_rows=512, passes=30):
+    """Distributed sort-free median for the RING sharded step: the
+    strided-row block is assembled by ring circulation (ring_median_block)
+    and the search counts psum — bitwise-equal to sharded_bisect_median
+    on the same particles (identical entries, order-invariant counts)."""
+    D, total = ring_median_block(theta_loc, axis_name, max_rows)
+    return _sharded_bisect_on_rows(D, axis_name, total, passes)
+
+
+def ring_warm_bisect_median(theta_loc, med_prev, axis_name, max_rows=512,
+                            warm_passes=8, brackets=DEFAULT_BRACKETS):
+    """Distributed warm_bisect_median for the RING sharded step —
+    bitwise-equal to sharded_warm_bisect_median on the same particles
+    (see ring_median_block), at ring-circulation memory cost."""
+    D, total = ring_median_block(theta_loc, axis_name, max_rows)
+    return _warm_search(D, med_prev, warm_passes, brackets,
+                        axis_name=axis_name, total=total)
 
 
 def ring_binned_median(theta_loc, axis_name, n_bins=2048, n_levels=2):

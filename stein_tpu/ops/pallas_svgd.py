@@ -87,28 +87,20 @@ def _pad_rows(x, rows):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_total", "block_i", "block_j", "interpret",
-                     "precision"),
+    static_argnames=("block_i", "block_j", "interpret", "precision"),
 )
-def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
-                         n_total=None, block_i=512, block_j=512,
-                         interpret=False, precision="f32"):
-    """Rectangular fused SVGD tile: phi for an [m, p] row block of
-    particles against [n, p] column particles/gradients.
-
-    The m == n case is the single-chip path (``pallas_svgd_phi``); the
-    m < n case is one shard of the particle-sharded step
-    (parallel/sharded.py with kernel_impl='pallas'), where each device
-    streams its local rows against the all-gathered global columns —
-    the [m, n] distance/kernel tiles never touch HBM, exactly as on a
-    single chip. ``n_total`` is the global particle count dividing phi
-    (reference abstract_stein_sampler.py:105); it defaults to n.
-    """
+def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
+                          block_i=512, block_j=512, interpret=False,
+                          precision="f32"):
+    """Raw streaming-tile accumulators for an [m, p] row block against
+    [n, p] column particles/gradients: ``both = K @ [grads | theta_cols]``
+    ([m, 2p]) and ``ksum`` ([m, 1]) — the pallas_call portion of
+    ``pallas_svgd_phi_rect`` without the final phi combine, so callers
+    that accumulate tiles across several column blocks (the ring sharded
+    step, parallel/sharded.py comm='ring') can sum partial (both, ksum)
+    pairs before combining once."""
     m, p = theta_rows.shape
     n = theta_cols.shape[0]
-    if n_total is None:
-        n_total = n
-    dtype = theta_rows.dtype
     f32 = jnp.float32
     bi = min(block_i, max(8, m))
     bj = min(block_j, max(8, n))
@@ -155,8 +147,38 @@ def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
         interpret=interpret,
     )(h2_arr, n_arr, rsq_i, rows_p, rsq_j, gt)
 
-    both = both[:m]
-    ksum = ksum[:m]
+    return both[:m], ksum[:m]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_total", "block_i", "block_j", "interpret",
+                     "precision"),
+)
+def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
+                         n_total=None, block_i=512, block_j=512,
+                         interpret=False, precision="f32"):
+    """Rectangular fused SVGD tile: phi for an [m, p] row block of
+    particles against [n, p] column particles/gradients.
+
+    The m == n case is the single-chip path (``pallas_svgd_phi``); the
+    m < n case is one shard of the particle-sharded step
+    (parallel/sharded.py with kernel_impl='pallas'), where each device
+    streams its local rows against the all-gathered global columns —
+    the [m, n] distance/kernel tiles never touch HBM, exactly as on a
+    single chip. ``n_total`` is the global particle count dividing phi
+    (reference abstract_stein_sampler.py:105); it defaults to n.
+    """
+    p = theta_rows.shape[1]
+    n = theta_cols.shape[0]
+    if n_total is None:
+        n_total = n
+    dtype = theta_rows.dtype
+    f32 = jnp.float32
+    both, ksum = pallas_svgd_both_ksum(
+        theta_rows, theta_cols, grads_cols, h2, block_i=block_i,
+        block_j=block_j, interpret=interpret, precision=precision,
+    )
     attract = both[:, :p]
     ktheta = both[:, p:]
     h2f = jnp.asarray(h2, f32)

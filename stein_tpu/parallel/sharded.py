@@ -175,6 +175,44 @@ def _ring_kernel_pass(theta_loc, grads_loc, rsq_loc, h2, axis):
     return acc_both[:, :p], acc_both[:, p:], acc_ksum
 
 
+def _ring_kernel_pass_pallas(theta_loc, grads_loc, h2, axis, pallas_block,
+                             pallas_interpret, pallas_precision):
+    """Ring block circulation with each rotation's [n_loc, n_loc] RBF
+    tile streamed through the fused Pallas kernel
+    (ops/pallas_svgd.pallas_svgd_both_ksum) — the large-n ring path: the
+    per-rotation distance/kernel tiles never touch HBM, and peak
+    per-device footprint stays O(n_loc x p) (no gathered global block).
+
+    Returns (attract, ktheta, ksum) for the local rows, accumulated over
+    all rotations (tolerance-equal to the all-gather Pallas path: same
+    tile arithmetic, different column-block accumulation order)."""
+    from ..ops.pallas_svgd import pallas_svgd_both_ksum
+
+    n_dev = jax.lax.axis_size(axis)
+    n_loc, p = theta_loc.shape
+    gt_loc = jnp.concatenate([grads_loc, theta_loc], axis=1)
+
+    def body(i, carry):
+        acc_both, acc_ksum, block_gt = carry
+        t_both, t_ksum = pallas_svgd_both_ksum(
+            theta_loc, block_gt[:, p:], block_gt[:, :p], h2,
+            block_i=pallas_block, block_j=pallas_block,
+            interpret=pallas_interpret, precision=pallas_precision,
+        )
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        block_gt = jax.lax.ppermute(block_gt, axis, perm)
+        return acc_both + t_both, acc_ksum + t_ksum, block_gt
+
+    acc_both = jnp.zeros((n_loc, 2 * p), jnp.float32)
+    acc_ksum = jnp.zeros((n_loc, 1), jnp.float32)
+    acc_both, acc_ksum, _ = jax.lax.fori_loop(
+        0, n_dev, body, (acc_both, acc_ksum, gt_loc)
+    )
+    dt = theta_loc.dtype
+    return (acc_both[:, :p].astype(dt), acc_both[:, p:].astype(dt),
+            acc_ksum.astype(dt))
+
+
 def _rbf_phi_rows_xla(theta_loc, theta_all, grads_all, D_rows, h2,
                       n_particles):
     """Fused RBF tile on local rows x gathered global cols (XLA path):
@@ -248,11 +286,13 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     other kernels (e.g. InverseMultiquadricKernel) take the generic
     two-matmul tile path.
 
-    ``kernel_impl='pallas'`` streams each shard's local-rows x global-cols
-    kernel tiles through the same fused Pallas kernel as the single-chip
-    path (ops/pallas_svgd.pallas_svgd_phi_rect) — the [n_loc, n] distance
-    and kernel matrices never touch HBM. Requires comm='all_gather', the
-    default RBF kernel, and a gather-free median ('bisect' or 'binned').
+    ``kernel_impl='pallas'`` streams the kernel tiles through the same
+    fused Pallas kernel as the single-chip path (ops/pallas_svgd) — the
+    distance and kernel matrices never touch HBM: with comm='all_gather'
+    as each shard's local-rows x gathered-global-cols tiles, with
+    comm='ring' as one [n_loc, n_loc] tile per ppermute rotation
+    (_ring_kernel_pass_pallas). Requires the default RBF kernel and a
+    gather-free median ('bisect' or 'binned').
     """
     if kernel is not None:
         from ..kernels import SquaredExponentialKernel
@@ -287,12 +327,6 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 "custom kernels use kernel_impl='xla' (the generic "
                 "two-matmul tile path)"
             )
-        if comm == "ring":
-            raise ValueError(
-                "kernel_impl='pallas' requires comm='all_gather' (the "
-                "Pallas tile consumes the gathered global column block; "
-                "the ring never assembles one)"
-            )
         if median not in ("bisect", "binned"):
             raise ValueError(
                 f"kernel_impl='pallas' requires a gather-free median "
@@ -306,12 +340,13 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             "median='bisect' (exact to fp-bisection resolution, no "
             "gather) or median='binned' (psum'd histogram)",
         )
-    if comm == "ring" and median != "binned":
+    if comm == "ring" and median not in ("binned", "bisect"):
         raise ValueError(
-            f"comm='ring' supports only median='binned' (got {median!r}); "
-            "the ring never assembles the global column block the other "
-            "median modes need — the ring histogram median is psum'd "
-            "per-rotation instead"
+            f"comm='ring' supports median='binned' (per-rotation psum'd "
+            f"histogram) or median='bisect' (ring-assembled strided row "
+            f"block, bitwise-equal to the all-gather search), got "
+            f"{median!r}: the ring never assembles the global column "
+            "block the other median modes need"
         )
 
     def spmd_step(state, batch):
@@ -320,14 +355,29 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
         rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
 
         if comm == "ring":
-            from ..ops.median import ring_binned_median
-            med = ring_binned_median(
-                theta_loc, axis, n_bins=binned_bins,
-            )
+            if median == "bisect":
+                from ..ops.median import ring_bisect_median
+                med = ring_bisect_median(
+                    theta_loc, axis, max_rows=median_max_rows,
+                    passes=median_passes,
+                )
+            else:
+                from ..ops.median import ring_binned_median
+                med = ring_binned_median(
+                    theta_loc, axis, n_bins=binned_bins,
+                )
             h2 = bandwidth_sq_from_median(
                 med.astype(theta_loc.dtype), n_particles
             )
-            if kernel is None:
+            if kernel_impl == "pallas":
+                attract, ktheta, ksum = _ring_kernel_pass_pallas(
+                    theta_loc, grads_loc, h2, axis, pallas_block,
+                    pallas_interpret, pallas_precision,
+                )
+                phi = (
+                    attract + (ksum * theta_loc - ktheta) / h2
+                ) / n_particles
+            elif kernel is None:
                 attract, ktheta, ksum = _ring_kernel_pass(
                     theta_loc, grads_loc, rsq_loc, h2, axis
                 )
@@ -451,7 +501,8 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                            remat=False, median_max_rows=512,
                            median_passes=30, warm_passes=8,
                            kernel_impl="xla", pallas_block=1024,
-                           pallas_interpret=False, pallas_precision="f32"):
+                           pallas_interpret=False, pallas_precision="f32",
+                           comm="all_gather"):
     """Warm-median variant of the sharded step for the scan loops
     (api.run / train_on_batches): carry is (SVGDState, med_prev), and the
     bandwidth search refines the previous step's median inside a
@@ -460,12 +511,16 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     batched collective for the bracket pass plus one per quad-ary round,
     vs 1+ceil(median_passes/2) for the cold sharded search).
 
-    Supports the default RBF kernel with comm='all_gather' only, in both
-    tile flavours (kernel_impl='xla' reuses its materialised D rows for
-    the warm counts; 'pallas' streams tiles and counts on the strided row
-    subsample). Returns (warm_step_fn, init_med_fn): warm_step_fn is
-    shard_map'd and scan-ready; init_med_fn is a jitted cold sharded
-    bisect used to seed the scan carry.
+    Supports the default RBF kernel in both comm modes and both tile
+    flavours: comm='all_gather' exchanges the global column block
+    (kernel_impl='xla' reuses its materialised D rows for the warm
+    counts; 'pallas' streams tiles and counts on the strided row
+    subsample); comm='ring' circulates column blocks with ppermute (the
+    warm counts run on the ring-assembled strided row block,
+    ops/median.ring_warm_bisect_median — bitwise-equal medians to the
+    all-gather search). Returns (warm_step_fn, init_med_fn):
+    warm_step_fn is shard_map'd and scan-ready; init_med_fn is a jitted
+    cold sharded bisect used to seed the scan carry.
     """
     axis = particle_axis
     n_dev = mesh.shape[axis]
@@ -476,8 +531,12 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
         )
     if kernel_impl not in ("xla", "pallas"):
         raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
+    if comm not in ("all_gather", "ring"):
+        raise ValueError(f"unknown comm mode: {comm!r}")
 
     from ..ops.median import (
+        ring_bisect_median,
+        ring_warm_bisect_median,
         sharded_bisect_median,
         sharded_warm_bisect_median,
         sharded_warm_bisect_median_on_D,
@@ -490,6 +549,33 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
         log_p_flat = jax.checkpoint(log_p_flat)
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+
+    def spmd_warm_ring_step(carry, batch):
+        state, med_prev = carry
+        theta_loc = state.particles                      # [n_loc, p]
+        log_p_vals, grads_loc = grad_all(theta_loc, batch)
+        med = ring_warm_bisect_median(
+            theta_loc, med_prev, axis, max_rows=median_max_rows,
+            warm_passes=warm_passes,
+        )
+        h2 = bandwidth_sq_from_median(
+            med.astype(theta_loc.dtype), n_particles
+        )
+        if kernel_impl == "pallas":
+            attract, ktheta, ksum = _ring_kernel_pass_pallas(
+                theta_loc, grads_loc, h2, axis, pallas_block,
+                pallas_interpret, pallas_precision,
+            )
+        else:
+            rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
+            attract, ktheta, ksum = _ring_kernel_pass(
+                theta_loc, grads_loc, rsq_loc, h2, axis
+            )
+        phi = (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
+        new_state, aux = _clip_update_aux(
+            state, phi, log_p_vals, h2, med, gd, max_phi_norm, axis
+        )
+        return (new_state, med.astype(theta_loc.dtype)), aux
 
     def spmd_warm_step(carry, batch):
         state, med_prev = carry

@@ -294,8 +294,9 @@ def test_warm_median_accepts_explicit_rbf_kernel():
 
 @requires_8_devices
 def test_warm_median_mesh_guards():
-    """Still-unsupported warm combinations fail loudly: ring comm,
-    non-bisect median."""
+    """Still-unsupported warm combinations fail loudly: non-bisect
+    median (ring comm is supported since r3 — see
+    test_ring_warm_matches_single_warm)."""
     theta0, model, batch = _linreg()
     mesh = particle_mesh(jax.devices()[:8])
     common = dict(
@@ -304,8 +305,6 @@ def test_warm_median_mesh_guards():
         gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
         warm_median=True,
     )
-    with pytest.raises(ValueError, match="all_gather"):
-        SVGDSampler(**common, mesh=mesh, median="bisect", comm="ring")
     with pytest.raises(ValueError, match="bisect"):
         SVGDSampler(**common, mesh=mesh, median="binned")
 
@@ -375,8 +374,6 @@ def test_sharded_pallas_option_guards():
     )
     with pytest.raises(ValueError, match="gather-free median"):
         SVGDSampler(**common, median="exact")
-    with pytest.raises(ValueError, match="all_gather"):
-        SVGDSampler(**common, median="bisect", comm="ring")
     with pytest.raises(ValueError, match="custom kernels"):
         SVGDSampler(**common, median="bisect",
                     kernel=InverseMultiquadricKernel())
@@ -409,4 +406,103 @@ def test_sharded_bisect_median_matches_exact():
         sharded.train_on_batch(batch)
     np.testing.assert_allclose(
         sharded.samples, single.samples, rtol=1e-6, atol=1e-10
+    )
+
+
+@requires_8_devices
+def test_ring_bisect_matches_all_gather_bisect():
+    """comm='ring' + median='bisect' (r3): the ring-assembled strided row
+    block holds exactly the all-gather block's entries, and threshold
+    counts are order-invariant sums — medians BITWISE equal; trajectories
+    agree to block-accumulation fp tolerance."""
+    theta0, model, batch = _linreg(n_particles=64)
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, mesh=mesh,
+        median="bisect",
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="all_gather",
+                    **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="ring", **common)
+    aux_a = a.train_on_batch(batch)
+    aux_b = b.train_on_batch(batch)
+    assert float(aux_b["median"]) == float(aux_a["median"])
+    for _ in range(4):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-9, atol=1e-12)
+
+
+@requires_8_devices
+def test_ring_warm_matches_single_warm():
+    """The production ring scan config (r2 verdict item #4): warm bisect
+    median on comm='ring' — per-step medians bitwise-equal to the
+    single-device warm search (same strided rows, same counts), samples
+    to sharded-vs-single fp tolerance."""
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    single, ring = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect", warm_median=True, warm_passes=8, comm="ring",
+    )
+    aux_s = single.run(batch, 6)
+    aux_r = ring.run(batch, 6)
+    np.testing.assert_allclose(
+        ring.samples, single.samples, rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_r["median"]), np.asarray(aux_s["median"]),
+        rtol=1e-12,
+    )
+
+
+@requires_8_devices
+def test_ring_pallas_matches_all_gather_pallas():
+    """comm='ring' + kernel_impl='pallas' (r3): per-rotation [n_loc,
+    n_loc] tiles through the fused streaming kernel track the all-gather
+    Pallas path (same tile arithmetic, different column-block
+    accumulation order -> f32-class tolerance)."""
+    theta0, model, batch = _linreg(n_particles=32)
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, mesh=mesh,
+        median="bisect", kernel_impl="pallas", pallas_interpret=True,
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="all_gather",
+                    **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="ring", **common)
+    aux_a = a.train_on_batch(batch)
+    aux_b = b.train_on_batch(batch)
+    # Step 1 runs on IDENTICAL particles: ring median bitwise-equal.
+    assert float(aux_b["median"]) == float(aux_a["median"])
+    for _ in range(2):
+        aux_a = a.train_on_batch(batch)
+        aux_b = b.train_on_batch(batch)
+        # Particles have tolerance-diverged (different tile accumulation
+        # order): medians close, not equal.
+        np.testing.assert_allclose(
+            float(aux_b["median"]), float(aux_a["median"]), rtol=1e-6,
+        )
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-5, atol=1e-8)
+
+
+@requires_8_devices
+def test_ring_warm_pallas_matches_single():
+    """The full projected-best multi-host config (ring + warm median +
+    Pallas tile) runs and tracks the single-device Pallas warm scan."""
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    single, ring = _make_pair(
+        theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+        median="bisect", warm_median=True, warm_passes=8,
+        kernel_impl="pallas", pallas_interpret=True, comm="ring",
+    )
+    single.run(batch, 5)
+    ring.run(batch, 5)
+    np.testing.assert_allclose(
+        ring.samples, single.samples, rtol=1e-6, atol=1e-9
     )
