@@ -37,6 +37,14 @@ from .utils.ravel import (
 from .utils.hostio import host_array, host_scalar  # noqa: E402  (re-export)
 
 
+# Single-device median='exact' footprint above which the constructor warns
+# (the sharded steps REFUSE at parallel/sharded.EXACT_MEDIAN_GATHER_LIMIT_
+# BYTES; single-device keeps working — exact is the reference's bitwise
+# semantics — but a defaults-user scaling n up should be told about
+# median='bisect' / throughput_config). 2^27 B = 128 MB -> n > 5792 in f32.
+EXACT_MEDIAN_WARN_BYTES = 2 ** 27
+
+
 class SVGDState(NamedTuple):
     """Complete mutable state of the sampler — a checkpointable pytree."""
 
@@ -362,15 +370,20 @@ def make_warm_step_fn(log_p, unravel_fn, gd, warm_phi_fn,
 def make_fused_warm_step_fn(log_p, unravel_fn, gd,
                             max_phi_norm=10.0, remat=False,
                             median_max_rows=512, median_passes=30,
-                            warm_passes=8, pallas_interpret=False):
+                            warm_passes=8, pallas_interpret=False,
+                            gram_in_kernel=False):
     """Scan-carried warm step whose ENTIRE post-gradient tail (warm median
     -> K -> contractions -> clip -> optimizer) is one Pallas kernel
     (ops/pallas_step.fused_warm_step_tail) — the small-n dispatch-latency
-    killer. Gradients and the HIGHEST-precision Gram stay in XLA, so the
-    deployed D numerics are identical to the XLA path. Returns
-    (step_fn, init_med) with the same carry contract as
-    make_warm_step_fn."""
-    from .ops.median import _strided_rows, bisect_median
+    killer. Gradients stay in XLA. With ``gram_in_kernel=False``
+    (step_impl='fused') the HIGHEST-precision Gram stays in XLA too, so
+    the deployed D numerics are identical to the XLA path; with
+    ``gram_in_kernel=True`` (step_impl='fused_gram') D is computed INSIDE
+    the kernel by the in-kernel f32 dot — ~5x the XLA HIGHEST rate and no
+    D HBM round-trip, at the Pallas-tile numerics class (measured,
+    benchmarks/bf16_operand_probe.py). Returns (step_fn, init_med) with
+    the same carry contract as make_warm_step_fn."""
+    from .ops.median import _strided_rows, bisect_median, subsample_rows
     from .ops.pallas_step import fused_warm_step_tail
     from .ops.rbf import pairwise_sq_dists
 
@@ -380,12 +393,21 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
         state, med_prev = carry
         theta = state.particles
         log_p_vals, grads = grad_all(theta, batch)
-        D = pairwise_sq_dists(theta)
-        new_theta, new_opt, (med, norm, h2) = fused_warm_step_tail(
-            theta, grads, D, _strided_rows(D, median_max_rows), med_prev,
-            state.opt_state, gd, max_phi_norm=max_phi_norm,
-            warm_passes=warm_passes, interpret=pallas_interpret,
-        )
+        if gram_in_kernel:
+            new_theta, new_opt, (med, norm, h2) = fused_warm_step_tail(
+                theta, grads, None, None, med_prev,
+                state.opt_state, gd, max_phi_norm=max_phi_norm,
+                warm_passes=warm_passes, interpret=pallas_interpret,
+                gram_in_kernel=True,
+                theta_sub=subsample_rows(theta, median_max_rows),
+            )
+        else:
+            D = pairwise_sq_dists(theta)
+            new_theta, new_opt, (med, norm, h2) = fused_warm_step_tail(
+                theta, grads, D, _strided_rows(D, median_max_rows),
+                med_prev, state.opt_state, gd, max_phi_norm=max_phi_norm,
+                warm_passes=warm_passes, interpret=pallas_interpret,
+            )
         new_state = SVGDState(new_theta, new_opt, state.step + 1)
         aux = {
             "phi_norm": norm,
@@ -498,10 +520,11 @@ class SVGDSampler:
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh
-        kernel_impl="pallas" streams each shard's local-rows x global-cols
-        tiles through the same fused Pallas kernel as the single-chip path
-        (requires comm="all_gather", the default RBF kernel, and a
-        gather-free median — "bisect" or "binned"); the 2-D mesh is
+        kernel_impl="pallas" streams the kernel tiles through the same
+        fused Pallas kernel as the single-chip path, in BOTH comm modes
+        (all_gather: local-rows x gathered-global-cols; ring: one local
+        tile per ppermute rotation); requires the default RBF kernel and
+        a gather-free median — "bisect" or "binned". The 2-D mesh is
         XLA-tiled only and raises for kernel_impl="pallas". Custom
         ``kernel`` objects ARE supported on both 1-D particle meshes (both
         comm modes) and 2-D particles x model meshes via the generic
@@ -518,10 +541,11 @@ class SVGDSampler:
         with bounded bandwidth error (~0.17*med/4^ceil(warm_passes/2) per
         step, re-verified every step so it never accumulates). Requires
         median='bisect' and the default RBF kernel; on a 1-D particle
-        mesh (comm='all_gather', either kernel_impl) and on 2-D
+        mesh (either comm, either kernel_impl) and on 2-D
         particles x model meshes the warm counts psum across shards —
         one batched collective per quad-ary round
-        (ops/median.sharded_warm_bisect_median and its on-D variant).
+        (ops/median.sharded_warm_bisect_median / ring_warm_bisect_median
+        and the on-D variant).
         Off by default so run(k) stays bit-equal to k train_on_batch
         calls.
     median_impl : "xla" (default) | "fused" — implementation of the
@@ -535,14 +559,20 @@ class SVGDSampler:
         search with no hint; blocks under 100k entries keep the XLA
         dual-rank search). Requires median='bisect' and f32;
         single-device only (the mesh searches psum across shards).
-    step_impl : "xla" (default) | "fused" — "fused" collapses the ENTIRE
-        post-gradient tail (warm median -> K -> contractions -> clip ->
-        optimizer) into one Pallas kernel
+    step_impl : "xla" (default) | "fused" | "fused_gram" — "fused"
+        collapses the ENTIRE post-gradient tail (warm median -> K ->
+        contractions -> clip -> optimizer) into one Pallas kernel
         (ops/pallas_step.fused_warm_step_tail). Gradients and the
         HIGHEST-precision Gram stay in XLA (deployed D numerics identical
         to the XLA path); K/phi take the streaming tile's exp2 form, so
         trajectories match the XLA path to the same tolerance as
-        kernel_impl="pallas". Extra warm rounds cost ~2-6 us each even
+        kernel_impl="pallas". "fused_gram" additionally computes D
+        INSIDE the kernel with the in-kernel f32 dot — measured ~5x the
+        XLA HIGHEST Gram rate with no D HBM round-trip
+        (benchmarks/bf16_operand_probe.py), placing D itself in the
+        Pallas-tile numerics class (~1e-7 rel vs HIGHEST) — the
+        measured-fastest small-n configuration. Extra warm rounds cost
+        ~2-6 us each even
         in-kernel (sequential scalar-synced VMEM passes — measured,
         benchmarks/fused_step_bench.py), much less than an XLA dispatch
         but not free. Requires warm_median=True, the default RBF kernel,
@@ -615,6 +645,30 @@ class SVGDSampler:
 
         self._donate = bool(donate)
         if mesh is None:
+            if median == "exact":
+                # Mirror of the mesh gather guard (parallel/sharded.py:
+                # check_exact_median_gather): the reference-faithful default
+                # materialises AND SORTS the full [n, n] distance matrix
+                # every step (compute_median.py:4-16 semantics) — at
+                # n=10240 that is a ~20 ms XLA sort per step, ~40x the
+                # tuned step (benchmarks/RESULTS.md median table). Warn
+                # instead of raise: exact IS the documented bitwise
+                # semantics and stays available on purpose.
+                import warnings
+                itemsize = jnp.dtype(dtype).itemsize
+                d_bytes = self.n_particles ** 2 * itemsize
+                if d_bytes > EXACT_MEDIAN_WARN_BYTES:
+                    warnings.warn(
+                        f"median='exact' sorts the full "
+                        f"[{self.n_particles}, {self.n_particles}] distance "
+                        f"matrix every step ({d_bytes / 2**20:.0f} MB; "
+                        "~40x the tuned step time at n=10240). Use "
+                        "median='bisect' (exact to fp-bisection resolution "
+                        "on a strided row subsample) or splat "
+                        "stein_tpu.throughput_config(n, p) for the "
+                        "measured-best configuration.",
+                        stacklevel=2,
+                    )
             phi_fn = make_phi_fn(
                 self.n_particles, median=median, kernel_impl=kernel_impl,
                 median_max_rows=median_max_rows, pallas_block=pallas_block,
@@ -646,16 +700,17 @@ class SVGDSampler:
                     "median_impl='fused' is the single-kernel bisect "
                     "search; it requires median='bisect'"
                 )
-            if median_impl == "fused" and dtype != jnp.float32:
+            if median_impl == "fused" and jnp.dtype(dtype) != jnp.dtype(
+                    jnp.float32):
                 raise ValueError(
                     "median_impl='fused' is f32-only (the kernel's bitwise "
                     "contract with the XLA search holds for f32, the only "
                     "TPU-native float); use median_impl='xla' with "
                     f"dtype={dtype}"
                 )
-            if step_impl not in ("xla", "fused"):
+            if step_impl not in ("xla", "fused", "fused_gram"):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
-            if step_impl == "fused":
+            if step_impl in ("fused", "fused_gram"):
                 from .ops.pallas_step import (
                     FUSED_STEP_VMEM_BUDGET,
                     fused_step_fits,
@@ -663,17 +718,19 @@ class SVGDSampler:
                 )
                 if not warm_median:
                     raise ValueError(
-                        "step_impl='fused' fuses the warm-median scan "
-                        "path; set warm_median=True"
+                        f"step_impl={step_impl!r} fuses the warm-median "
+                        "scan path; set warm_median=True"
                     )
                 if kernel is not None or kernel_impl != "xla":
                     raise ValueError(
-                        "step_impl='fused' requires the default RBF "
-                        "kernel and kernel_impl='xla' (the tail replaces "
-                        "both)"
+                        f"step_impl={step_impl!r} requires the default "
+                        "RBF kernel and kernel_impl='xla' (the tail "
+                        "replaces both)"
                     )
-                if dtype != jnp.float32:
-                    raise ValueError("step_impl='fused' is f32-only")
+                if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+                    raise ValueError(
+                        f"step_impl={step_impl!r} is f32-only"
+                    )
                 if not fused_step_fits(self.n_particles, self.n_params,
                                        median_max_rows):
                     vb = fused_step_vmem_bytes(
@@ -694,7 +751,7 @@ class SVGDSampler:
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
                     )
-                if step_impl == "fused":
+                if step_impl in ("fused", "fused_gram"):
                     self._warm_step_fn, self._warm_init_med = \
                         make_fused_warm_step_fn(
                             log_p, self.unravel_fn, gd,
@@ -703,6 +760,7 @@ class SVGDSampler:
                             median_passes=median_passes,
                             warm_passes=warm_passes,
                             pallas_interpret=pallas_interpret,
+                            gram_in_kernel=(step_impl == "fused_gram"),
                         )
                 else:
                     warm_phi = make_warm_phi_fn(
@@ -740,11 +798,11 @@ class SVGDSampler:
                     "warm search psums counts across shards; the fused "
                     "kernel cannot contain a collective)"
                 )
-            if step_impl not in ("xla", "fused"):
+            if step_impl not in ("xla", "fused", "fused_gram"):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
-            if step_impl == "fused":
+            if step_impl != "xla":
                 raise ValueError(
-                    "step_impl='fused' is single-device only (the tail "
+                    f"step_impl={step_impl!r} is single-device only (the tail "
                     "kernel cannot contain the mesh collectives)"
                 )
             if warm_median:
@@ -752,12 +810,6 @@ class SVGDSampler:
                     raise ValueError(
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
-                    )
-                if model_axis is None and comm != "all_gather":
-                    raise ValueError(
-                        "warm_median on a mesh requires comm='all_gather' "
-                        "(the warm counts run against the gathered global "
-                        "column block)"
                     )
             if model_axis is not None:
                 from .parallel.sharded2d import make_sharded2d_step
@@ -818,6 +870,7 @@ class SVGDSampler:
                             pallas_block=pallas_block,
                             pallas_interpret=pallas_interpret,
                             pallas_precision=pallas_precision,
+                            comm=comm,
                         )
 
         self._posterior_cache = {}

@@ -22,8 +22,10 @@ Semantics (reference citations in ops/rbf.py / ops/optimizers.py):
   step rule.
 
 VMEM budget: the kernel holds D and K ([n, n] f32 each) plus the [m, n]
-median block and seven [n, p] arrays — callers gate on
-``fused_step_vmem_bytes`` (~16 MB/core); n=1024/p=128 fits.
+median block and ~11 [n, p] terms (7 named in/out buffers + in-kernel
+temporaries) — callers gate on ``fused_step_vmem_bytes`` against
+FUSED_STEP_VMEM_BUDGET, which is calibrated to the largest shape measured
+to compile (n=1024/p=128, the n=1k bench config).
 """
 
 import functools
@@ -39,18 +41,29 @@ from .pallas_median import warm_search_on_value
 _LOG2E_HALF = -1.4426950408889634 / 2.0
 
 
-# VMEM the fused tail may plan for on a 16 MiB/core chip (leaves head-
-# room for Mosaic's own temporaries). THE budget — shared by the
-# constructor guard and throughput_config via fused_step_fits.
-FUSED_STEP_VMEM_BUDGET = 14 * 2 ** 20
+# Gate for the fused tail, shared by the constructor guard and
+# throughput_config via fused_step_fits. Calibrated empirically, not
+# theoretically: it is fused_step_vmem_bytes(1024, 128, 512) — the
+# largest shape MEASURED to compile and run on the deployed 16 MiB/core
+# chip (the n=1k bench config; Mosaic's actual buffer reuse keeps real
+# usage below the conservative estimate). Shapes whose estimate exceeds
+# it are refused up front instead of failing in the remote Mosaic
+# compile.
+FUSED_STEP_VMEM_BUDGET = 16_252_928
 
 
 def fused_step_vmem_bytes(n, p, m):
-    """Rough live-buffer bound for the fused tail (D + K + median block +
-    the [n, p] in/out arrays), used by callers to gate the option. When
-    m >= n the median block IS D (staged once), so it adds nothing."""
+    """Rough live-buffer bound for the fused tail, used by callers to gate
+    the option: D + K ([n, n] each), the median block (shares D's buffer
+    when m >= n), and eleven [n, p] terms — the seven named in/out buffers
+    (theta, grads, 2x Adam moments in, new_theta, 2x moments out) plus the
+    in-kernel temporaries Mosaic cannot be assumed to alias away (attract,
+    ktheta, phi / delta). The measured worst shape that compiles on the
+    deployed 16 MiB/core chip is n=1024 / p=128 / m=512 (the n=1k bench
+    config, 15.5 MiB under this estimate — the calibration point for
+    FUSED_STEP_VMEM_BUDGET; benchmarks/fused_step_bench.py)."""
     m_extra = 0 if m >= n else m
-    return 4 * (2 * n * n + m_extra * n + 8 * n * p)
+    return 4 * (2 * n * n + m_extra * n + 11 * n * p)
 
 
 def fused_step_fits(n, p, median_max_rows=512):
@@ -63,18 +76,25 @@ def fused_step_fits(n, p, median_max_rows=512):
 
 def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
                  n_particles):
-    (n_scalar_in, n_array_in, treedef, scalar_pos, share_dsub) = meta
-    # in refs: med, *opt_scalars, D, [Dsub], theta, grads, *opt_arrays
+    (n_scalar_in, n_array_in, treedef, scalar_pos, share_dsub,
+     gram_in_kernel) = meta
+    # in refs: med, *opt_scalars,
+    #          D, [Dsub]            (gram_in_kernel=False)  or
+    #          [theta_sub]          (gram_in_kernel=True),
+    #          theta, grads, *opt_arrays
     # out refs: new_theta, *new_opt_arrays, *new_opt_scalars, stats
     idx = 0
     med_ref = refs[idx]; idx += 1
     scalar_in = refs[idx:idx + n_scalar_in]; idx += n_scalar_in
-    D_ref = refs[idx]; idx += 1
-    if share_dsub:
-        # The median block IS the full D (n <= max_rows): one VMEM copy.
-        Dsub_ref = D_ref
-    else:
-        Dsub_ref = refs[idx]; idx += 1
+    if not gram_in_kernel:
+        D_ref = refs[idx]; idx += 1
+        if share_dsub:
+            # The median block IS the full D (n <= max_rows): one copy.
+            Dsub_ref = D_ref
+        else:
+            Dsub_ref = refs[idx]; idx += 1
+    elif not share_dsub:
+        theta_sub_ref = refs[idx]; idx += 1
     theta_ref = refs[idx]; idx += 1
     grads_ref = refs[idx]; idx += 1
     array_in = refs[idx:idx + n_array_in]; idx += n_array_in
@@ -87,12 +107,38 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     grads = grads_ref[:]
     f32 = jnp.float32
 
+    if gram_in_kernel:
+        # D = r + r^T - 2 T T^T (abstract_kernel.py:33-35) on the
+        # IN-KERNEL f32 dot: measured ~177 TF/s vs XLA HIGHEST's 33
+        # (benchmarks/bf16_operand_probe.py) with the Pallas-tile
+        # numerics class (~1e-7 rel vs the HIGHEST D) — this removes
+        # the XLA Gram stage AND D's HBM round-trip from the step.
+        n = theta.shape[0]
+        rsq = jnp.sum(theta * theta, axis=1, keepdims=True)
+        D = (rsq + rsq.reshape(1, n)
+             - 2.0 * jnp.dot(theta, theta.T,
+                             preferred_element_type=f32))
+        if share_dsub:
+            Dsub = D
+        else:
+            # The strided-row median block, from the (XLA-gathered)
+            # subsample rows — a second small dot instead of a strided
+            # in-kernel load.
+            tsub = theta_sub_ref[:]
+            rsq_sub = jnp.sum(tsub * tsub, axis=1, keepdims=True)
+            Dsub = (rsq_sub + rsq.reshape(1, n)
+                    - 2.0 * jnp.dot(tsub, theta.T,
+                                    preferred_element_type=f32))
+    else:
+        D = D_ref[:]
+        Dsub = Dsub_ref[:]
+
     med = warm_search_on_value(
-        Dsub_ref[:], med_ref[0], k=k, rounds=rounds, brackets=brackets,
+        Dsub, med_ref[0], k=k, rounds=rounds, brackets=brackets,
     )
     h2 = med / jnp.log(jnp.asarray(n_particles, f32))
 
-    K = jnp.exp2(D_ref[:] * (_LOG2E_HALF / h2))
+    K = jnp.exp2(D * (_LOG2E_HALF / h2))
     attract = jnp.dot(K, grads, preferred_element_type=f32)
     ktheta = jnp.dot(K, theta, preferred_element_type=f32)
     ksum = jnp.sum(K, axis=1, keepdims=True)
@@ -117,6 +163,18 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     delta, new_state = update(opt_state, phi)
 
     out_theta[:] = theta + delta
+    # The write-back below pairs new_state's leaves with the input state's
+    # (scalar/array) layout positionally — a custom step rule returning a
+    # different pytree structure would silently drop or misassign state
+    # leaves. Fail loudly at trace time instead (Adam/Adagrad are fine).
+    new_treedef = jax.tree_util.tree_structure(new_state)
+    if new_treedef != treedef:
+        raise ValueError(
+            "fused step: gd.update returned an optimizer state with a "
+            f"different pytree structure than its input ({new_treedef} "
+            f"vs {treedef}); the fused tail requires a structure-"
+            "preserving step rule"
+        )
     new_leaves = jax.tree_util.tree_leaves(new_state)
     so = iter(out_scalars)
     ao = iter(out_arrays)
@@ -132,7 +190,8 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
 
 def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                          max_phi_norm=10.0, warm_passes=8,
-                         brackets=DEFAULT_BRACKETS, interpret=False):
+                         brackets=DEFAULT_BRACKETS, interpret=False,
+                         gram_in_kernel=False, theta_sub=None):
     """One-kernel step tail. Returns (new_theta, new_opt_state,
     (med, phi_norm, h2)).
 
@@ -141,14 +200,31 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     deployed D numerics match the XLA path exactly); ``D_sub`` its
     strided row block (ops/median.row_subsample_block policy); ``gd`` a
     frozen-dataclass step rule whose ``update`` is pure jnp.
+
+    ``gram_in_kernel=True`` (step_impl='fused_gram'): pass D=D_sub=None
+    and the kernel computes D itself from ``theta`` with the in-kernel
+    f32 dot — ~5x the XLA HIGHEST Gram rate at the Pallas-tile numerics
+    class (measured, benchmarks/bf16_operand_probe.py), and D never
+    touches HBM. ``theta_sub`` must then be the strided subsample rows
+    of theta (ops/median.row_subsample_block's row policy), or None when
+    every row is kept (n <= max_rows).
     """
     n, p = theta.shape
-    m = D_sub.shape[0]
-    total = m * D_sub.shape[1]
+    if gram_in_kernel:
+        share_dsub = theta_sub is None
+        m = n if share_dsub else theta_sub.shape[0]
+        checked = (("theta", theta), ("grads", grads)) + (
+            () if share_dsub else (("theta_sub", theta_sub),)
+        )
+    else:
+        share_dsub = D_sub is D
+        m = D_sub.shape[0]
+        checked = (("theta", theta), ("grads", grads), ("D", D),
+                   ("D_sub", D_sub))
+    total = m * n
     if total >= 2 ** 31:
         raise ValueError("fused step: median block exceeds int32 counts")
-    for name, arr in (("theta", theta), ("grads", grads), ("D", D),
-                      ("D_sub", D_sub)):
+    for name, arr in checked:
         if arr.dtype != jnp.float32:
             raise TypeError(
                 f"fused step is f32-only (got {name}={arr.dtype})"
@@ -166,12 +242,15 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                 f"are [n, p]; got {leaf.shape}"
             )
 
-    # When the subsample policy kept every row (n <= max_rows), the
-    # caller passes D itself as D_sub — stage it into VMEM once.
-    share_dsub = D_sub is D
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_vmem_in = (3 if share_dsub else 4) + len(array_leaves)
+    if gram_in_kernel:
+        mat_args = () if share_dsub else (theta_sub,)
+    else:
+        # When the subsample policy kept every row (n <= max_rows), the
+        # caller passes D itself as D_sub — stage it into VMEM once.
+        mat_args = (D,) if share_dsub else (D, D_sub)
+    n_vmem_in = len(mat_args) + 2 + len(array_leaves)
     in_specs = [smem] * (1 + len(scalar_leaves)) + [vmem] * n_vmem_in
     out_specs = ([vmem] * (1 + len(array_leaves))
                  + [smem] * (len(scalar_leaves) + 1))
@@ -182,19 +261,18 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
         + [jax.ShapeDtypeStruct((3,), f32)]
     )
     meta = (len(scalar_leaves), len(array_leaves), treedef, scalar_pos,
-            share_dsub)
+            share_dsub, gram_in_kernel)
     kernel = functools.partial(
         _tail_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
         k=(total + 1) // 2, rounds=(warm_passes + 1) // 2,
         brackets=brackets, n_particles=n,
     )
-    dsub_arg = () if share_dsub else (D_sub,)
     outs = pl.pallas_call(
         kernel, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
     )(jnp.asarray(med_prev).astype(f32).reshape(1),
       *[l.reshape(1) for l in scalar_leaves],
-      D, *dsub_arg, theta, grads, *array_leaves)
+      *mat_args, theta, grads, *array_leaves)
 
     new_theta = outs[0]
     new_arrays = list(outs[1:1 + len(array_leaves)])

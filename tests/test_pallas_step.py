@@ -106,3 +106,105 @@ def test_fused_step_guards():
         )
     with pytest.raises(ValueError, match="unknown step_impl"):
         _make(model, theta0, gd, "bogus")
+
+
+def test_fused_tail_rejects_structure_changing_optimizer():
+    """Regression (r2 advisor): the tail kernel's positional state
+    write-back would silently truncate if gd.update returned a pytree
+    with a different structure — it must raise at trace time instead."""
+    import jax
+
+    class BadGD:
+        def init(self, shape, dtype):
+            return {"m": jnp.zeros(shape, dtype)}
+
+        def update(self, state, phi):
+            # Returns an EXTRA leaf: structure differs from the input.
+            return phi, {"m": state["m"] + phi, "extra": jnp.float32(0)}
+
+    from stein_tpu.ops.pallas_step import fused_warm_step_tail
+
+    n, p = 16, 4
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    grads = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    from stein_tpu.ops.rbf import pairwise_sq_dists
+    D = pairwise_sq_dists(theta)
+    gd = BadGD()
+    with pytest.raises(ValueError, match="structure-preserving"):
+        fused_warm_step_tail(
+            theta, grads, D, D, jnp.float32(0.0),
+            gd.init((n, p), jnp.float32), gd, interpret=True,
+        )
+
+
+def test_fused_step_fits_calibration():
+    """FUSED_STEP_VMEM_BUDGET is calibrated to the largest shape measured
+    to compile (n=1024/p=128/m=512, the n=1k bench config): that shape
+    must pass and a clearly-larger one must be refused."""
+    from stein_tpu.ops.pallas_step import (
+        FUSED_STEP_VMEM_BUDGET,
+        fused_step_fits,
+        fused_step_vmem_bytes,
+    )
+
+    assert fused_step_fits(1024, 128, 512)
+    assert fused_step_vmem_bytes(1024, 128, 512) == FUSED_STEP_VMEM_BUDGET
+    assert not fused_step_fits(2048, 128, 512)
+
+
+@pytest.mark.parametrize("gd_factory", [
+    lambda: Adam(learning_rate=1e-1, decay=0.999),
+    lambda: Adagrad(learning_rate=5e-2),
+])
+def test_fused_gram_step_matches_xla_warm_trajectory(gd_factory):
+    """step_impl='fused_gram' (D computed IN-kernel): same trajectory
+    class as step_impl='fused' — on CPU interpret the in-kernel dot is
+    exact f32, so it tracks the XLA warm path to the Pallas tolerance."""
+    model, batch, theta0 = _problem()
+    a = _make(model, theta0, gd_factory(), "xla")
+    b = _make(model, theta0, gd_factory(), "fused_gram")
+    aux_a = a.run(batch, 15)
+    aux_b = b.run(batch, 15)
+    np.testing.assert_allclose(
+        np.asarray(aux_b["median"]), np.asarray(aux_a["median"]),
+        rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        b.samples, a.samples, rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_fused_gram_subsampled_median_path():
+    """n > median_max_rows exercises the theta_sub input (the strided
+    median block computed by a second in-kernel dot): must track the XLA
+    warm path with the same subsample policy."""
+    model, batch, theta0 = _problem(n=48)
+    kw = dict(median_max_rows=16)
+    a = _make(model, theta0, Adam(learning_rate=1e-1), "xla", **kw)
+    b = _make(model, theta0, Adam(learning_rate=1e-1), "fused_gram", **kw)
+    aux_a = a.run(batch, 10)
+    aux_b = b.run(batch, 10)
+    np.testing.assert_allclose(
+        np.asarray(aux_b["median"]), np.asarray(aux_a["median"]),
+        rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        b.samples, a.samples, rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_fused_gram_mesh_guard():
+    """step_impl='fused_gram' refuses meshes like 'fused' does."""
+    import jax
+    from stein_tpu.parallel import particle_mesh
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    model, batch, theta0 = _problem()
+    with pytest.raises(ValueError, match="single-device"):
+        SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(), gd=Adam(), theta=theta0,
+            median="bisect", warm_median=True, step_impl="fused_gram",
+            mesh=particle_mesh(jax.devices()[:2]),
+        )

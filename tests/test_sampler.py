@@ -326,3 +326,56 @@ def test_throughput_config_decision_tree():
         batch = {"X": jnp.asarray(X, cfg["dtype"]),
                  "y": jnp.asarray(X @ np.ones((4, 1)), cfg["dtype"])}
         s.run(batch, 2)
+
+
+def test_string_dtype_constructs_fused_paths():
+    """Regression (r2 advisor): the fused-path f32 guards must normalize
+    the dtype before comparing, so the docstring-advertised splat
+    ``SVGDSampler(..., **throughput_config(n, p, dtype='float32'))``
+    constructs instead of raising on the string spelling."""
+    from stein_tpu import throughput_config
+
+    model = LinearRegressionModel(4)
+    cfg = throughput_config(64, 4, dtype="float32")
+    assert cfg["step_impl"] == "fused"   # the guard-triggering branch
+    s = SVGDSampler(
+        n_particles=64, log_p=model.log_p,
+        param_template=model.template(), gd=Adam(learning_rate=1e-1),
+        pallas_interpret=True, **cfg,
+    )
+    X = np.ones((8, 4), np.float32)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(X @ np.ones((4, 1)))}
+    s.run(batch, 2)
+
+
+def test_exact_median_large_n_warns():
+    """Single-device median='exact' above the warn threshold points the
+    user at bisect/throughput_config (mirror of the mesh gather guard) —
+    without changing behaviour: exact stays available."""
+    import warnings
+    from stein_tpu.api import EXACT_MEDIAN_WARN_BYTES
+
+    model = LinearRegressionModel(2)
+    n_warn = int((EXACT_MEDIAN_WARN_BYTES // 4) ** 0.5) + 1
+    with pytest.warns(UserWarning, match="median='bisect'"):
+        SVGDSampler(
+            n_particles=n_warn, log_p=model.log_p,
+            param_template=model.template(jnp.float32),
+            gd=Adam(learning_rate=1e-1), dtype=jnp.float32,
+            median="exact",
+        )
+    # Under the threshold (or with a fast median): silent.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SVGDSampler(
+            n_particles=64, log_p=model.log_p,
+            param_template=model.template(jnp.float32),
+            gd=Adam(learning_rate=1e-1), dtype=jnp.float32,
+            median="exact",
+        )
+        SVGDSampler(
+            n_particles=n_warn, log_p=model.log_p,
+            param_template=model.template(jnp.float32),
+            gd=Adam(learning_rate=1e-1), dtype=jnp.float32,
+            median="bisect",
+        )
