@@ -165,13 +165,15 @@ def main():
                               # the VMEM-resident block — bitwise the same
                               # medians, 54.0 -> 46.5 us full step
                               # (benchmarks/fused_median_bench.py)
-        step_impl="fused",    # ... and then the ENTIRE post-gradient tail
+        step_impl="fused_gram",  # the ENTIRE post-gradient tail
                               # (median -> K -> contraction -> clip ->
-                              # Adam) in ONE kernel: 46.2 -> 27.7 us
-                              # within one batch (stable mode ~33.5 us
-                              # = 29.8M updates/s) — gradients + HIGHEST
-                              # Gram stay in XLA, D numerics unchanged
-                              # (benchmarks/fused_step_bench.py)
+                              # Adam) in ONE kernel, WITH D computed by
+                              # the in-kernel dot (~5x the XLA HIGHEST
+                              # Gram rate, no D HBM round-trip): 35.8 ->
+                              # 27.0 us within one batch — D joins the
+                              # large-n tile's bf16-class tolerance,
+                              # posterior statistics pinned by tests_tpu
+                              # (benchmarks/sym_and_gram_bench.py)
     )
 
     # Config 2: n=10240, Pallas streaming kernel + bisect median

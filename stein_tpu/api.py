@@ -379,9 +379,11 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
     (step_impl='fused') the HIGHEST-precision Gram stays in XLA too, so
     the deployed D numerics are identical to the XLA path; with
     ``gram_in_kernel=True`` (step_impl='fused_gram') D is computed INSIDE
-    the kernel by the in-kernel f32 dot — ~5x the XLA HIGHEST rate and no
-    D HBM round-trip, at the Pallas-tile numerics class (measured,
-    benchmarks/bf16_operand_probe.py). Returns (step_fn, init_med) with
+    the kernel by the in-kernel dot — ~5x the XLA HIGHEST rate and no
+    D HBM round-trip, at the large-n streaming tile's numerics class
+    (bf16-class dot inputs, ~2e-3 rel on D — the precision audit in
+    benchmarks/sym_and_gram_bench.py; posterior statistics pinned by the
+    statistical tests). Returns (step_fn, init_med) with
     the same carry contract as make_warm_step_fn."""
     from .ops.median import _strided_rows, bisect_median, subsample_rows
     from .ops.pallas_step import fused_warm_step_tail
@@ -447,9 +449,10 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
 
     Selections (all preserve reference semantics within the documented
     tolerance classes): sort-free bisect median + the scan-carried warm
-    search everywhere; the fully-fused step tail when (n, p) fits VMEM
-    (single device, f32); otherwise the single-kernel fused median, plus
-    the Pallas streaming tile at large n. The fused kernels and the
+    search everywhere; the fully-fused step tail with the in-kernel
+    Gram (step_impl='fused_gram') when (n, p) fits VMEM (single device,
+    f32); otherwise the single-kernel fused median, plus the Pallas
+    streaming tile at large n. The fused kernels and the
     Pallas tile compute in f32, so non-f32 dtypes keep the all-XLA path
     at the requested precision. Mesh configs stay on the psum'd searches
     (the fused kernels are single-device); pass ``model_axis`` for a 2-D
@@ -477,7 +480,10 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
         from .ops.pallas_step import fused_step_fits
         if fused_step_fits(n_particles, n_params,
                            cfg.get("median_max_rows", 512)):
-            cfg.update(step_impl="fused", median_impl="fused")
+            # fused_gram: D computed in-kernel — measured 27.0 vs
+            # 35.8 us at n=1000/p=128 (RESULTS.md round 3), same
+            # tolerance class as the large-n streaming tile.
+            cfg.update(step_impl="fused_gram", median_impl="fused")
             return cfg
         cfg["median_impl"] = "fused"
         if large:
@@ -524,8 +530,11 @@ class SVGDSampler:
         fused Pallas kernel as the single-chip path, in BOTH comm modes
         (all_gather: local-rows x gathered-global-cols; ring: one local
         tile per ppermute rotation); requires the default RBF kernel and
-        a gather-free median — "bisect" or "binned". The 2-D mesh is
-        XLA-tiled only and raises for kernel_impl="pallas". Custom
+        a gather-free median — "bisect" or "binned". On a 2-D
+        (particles x model) mesh kernel_impl="pallas" streams exp2 + the
+        contraction over the already-materialised D rows (the model-axis
+        psum requires D in HBM; the kernel keeps K out of it —
+        ops/pallas_svgd.pallas_svgd_both_ksum_on_D). Custom
         ``kernel`` objects ARE supported on both 1-D particle meshes (both
         comm modes) and 2-D particles x model meshes via the generic
         weights-kernel tile. The 2-D mesh supports median="exact"
@@ -567,12 +576,14 @@ class SVGDSampler:
         to the XLA path); K/phi take the streaming tile's exp2 form, so
         trajectories match the XLA path to the same tolerance as
         kernel_impl="pallas". "fused_gram" additionally computes D
-        INSIDE the kernel with the in-kernel f32 dot — measured ~5x the
-        XLA HIGHEST Gram rate with no D HBM round-trip
-        (benchmarks/bf16_operand_probe.py), placing D itself in the
-        Pallas-tile numerics class (~1e-7 rel vs HIGHEST) — the
-        measured-fastest small-n configuration. Extra warm rounds cost
-        ~2-6 us each even
+        INSIDE the kernel with the in-kernel dot — measured ~5x the
+        XLA HIGHEST Gram rate with no D HBM round-trip, moving D itself
+        into the large-n streaming tile's numerics class (bf16-class
+        dot inputs, ~2e-3 rel on D; precision audit in
+        benchmarks/sym_and_gram_bench.py, posterior statistics pinned
+        by tests/test_statistical.py and tests_tpu/) — the
+        measured-fastest small-n configuration (27 vs 36 us at
+        n=1000/p=128). Extra warm rounds cost ~2-6 us each even
         in-kernel (sequential scalar-synced VMEM passes — measured,
         benchmarks/fused_step_bench.py), much less than an XLA dispatch
         but not free. Requires warm_median=True, the default RBF kernel,
@@ -784,12 +795,6 @@ class SVGDSampler:
             # by RBF would sample the wrong posterior geometry).
             if kernel_impl not in ("xla", "pallas"):
                 raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
-            if kernel_impl == "pallas" and model_axis is not None:
-                raise ValueError(
-                    "kernel_impl='pallas' is supported on 1-D particle "
-                    "meshes only; the 2-D (particles x model) step tiles "
-                    "the model axis with its own XLA path"
-                )
             if median_impl not in ("xla", "fused"):
                 raise ValueError(f"unknown median_impl: {median_impl!r}")
             if median_impl == "fused":
@@ -823,6 +828,9 @@ class SVGDSampler:
                         donate=donate, remat=remat, median=median,
                         median_max_rows=median_max_rows,
                         median_passes=median_passes, kernel=kernel,
+                        kernel_impl=kernel_impl,
+                        pallas_block=pallas_block,
+                        pallas_interpret=pallas_interpret,
                     )
                 if warm_median:
                     from .parallel.sharded2d import make_sharded2d_warm_step
@@ -837,6 +845,9 @@ class SVGDSampler:
                             median_max_rows=median_max_rows,
                             median_passes=median_passes,
                             warm_passes=warm_passes,
+                            kernel_impl=kernel_impl,
+                            pallas_block=pallas_block,
+                            pallas_interpret=pallas_interpret,
                         )
             else:
                 from .parallel.sharded import make_sharded_step

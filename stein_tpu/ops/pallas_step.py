@@ -109,10 +109,13 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
 
     if gram_in_kernel:
         # D = r + r^T - 2 T T^T (abstract_kernel.py:33-35) on the
-        # IN-KERNEL f32 dot: measured ~177 TF/s vs XLA HIGHEST's 33
-        # (benchmarks/bf16_operand_probe.py) with the Pallas-tile
-        # numerics class (~1e-7 rel vs the HIGHEST D) — this removes
-        # the XLA Gram stage AND D's HBM round-trip from the step.
+        # IN-KERNEL dot: measured ~177 TF/s vs XLA HIGHEST's 33, at
+        # bf16-class input precision (~2e-3 rel on D — the precision
+        # audit in benchmarks/sym_and_gram_bench.py; Mosaic truncates
+        # dot inputs regardless of buffer dtype). This is the SAME
+        # numerics class as the large-n streaming tile's in-kernel D
+        # (ops/pallas_svgd.py), pinned by the statistical posterior
+        # tests — it removes the XLA Gram stage AND D's HBM round-trip.
         n = theta.shape[0]
         rsq = jnp.sum(theta * theta, axis=1, keepdims=True)
         D = (rsq + rsq.reshape(1, n)

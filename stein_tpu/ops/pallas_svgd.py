@@ -188,6 +188,218 @@ def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
     return phi.astype(dtype)
 
 
+def _svgd_on_d_tile_kernel(h2_ref, n_ref, d_ref, gt_j_ref, both_ref,
+                           ksum_ref):
+    """One (i, j) tile of the on-D variant: the [bi, bj] distance block
+    comes in as an INPUT (the 2-D mesh materialises D_rows anyway — its
+    model-axis psum requires it); the kernel fuses exp2 + masking + the
+    contraction + row-sums so K never touches HBM."""
+    j = pl.program_id(1)
+    n_valid = n_ref[0]
+    bj = gt_j_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        both_ref[:] = jnp.zeros_like(both_ref)
+        ksum_ref[:] = jnp.zeros_like(ksum_ref)
+
+    K = jnp.exp2(d_ref[:] * (-1.4426950408889634 / 2.0) / h2_ref[0])
+    col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
+    K = jnp.where(col < n_valid, K, 0.0)
+    both_ref[:] += jnp.dot(K, gt_j_ref[:],
+                           preferred_element_type=jnp.float32)
+    ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_i", "block_j", "interpret"),
+)
+def pallas_svgd_both_ksum_on_D(D_rows, gt_cols, h2, block_i=512,
+                               block_j=512, interpret=False):
+    """Streaming (both, ksum) accumulators from an already-materialised
+    [m, n] distance-row block — the 2-D (particles x model) mesh path,
+    where D_rows exists by construction (psum'd partial Grams,
+    parallel/sharded2d._d_rows_2d) and the win is keeping the [m, n] K
+    out of HBM while contracting against the p-sharded [n, 2*p_loc]
+    ``gt_cols``. f32 compute (inputs cast in, outputs f32)."""
+    m, n = D_rows.shape
+    two_p = gt_cols.shape[1]
+    f32 = jnp.float32
+    bi = min(block_i, max(8, m))
+    bj = min(block_j, max(8, n))
+    m_pad = -(-m // bi) * bi
+    n_pad = -(-n // bj) * bj
+
+    D_p = jnp.pad(D_rows.astype(f32),
+                  ((0, m_pad - m), (0, n_pad - n)))
+    gt_p = _pad_rows(gt_cols.astype(f32), n_pad - n)
+
+    grid = (m_pad // bi, n_pad // bj)
+    both, ksum = pl.pallas_call(
+        _svgd_on_d_tile_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # h2
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # n
+            pl.BlockSpec((bi, bj), lambda i, j: (i, j)),       # D tile
+            pl.BlockSpec((bj, two_p), lambda i, j: (j, 0)),    # gt_j
+        ],
+        out_specs=[
+            pl.BlockSpec((bi, two_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, two_p), f32),
+            jax.ShapeDtypeStruct((m_pad, 1), f32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(h2, f32).reshape(1),
+      jnp.asarray(n, jnp.int32).reshape(1), D_p, gt_p)
+    return both[:m], ksum[:m]
+
+
+def _svgd_sym_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
+                          gt_j_ref, gt_i_ref, row_both_ref, row_ksum_ref,
+                          col_both_ref, col_ksum_ref):
+    """Symmetric-traversal tile: only j >= i tiles compute; each strictly-
+    upper tile contributes K @ gt_j to its ROW block (per-i output) and
+    K^T @ gt_i to its COLUMN rows inside a whole-array VMEM-resident
+    accumulator (constant-index output block) — exploiting D's symmetry
+    (abstract_kernel.py:33-35: D = r + r^T - 2TT^T, so K_ji = K_ij^T)
+    to skip the j < i distance/exp/mask work entirely. The contraction
+    FLOPs are NOT redundant (each pair (i, j) feeds one MAC of K@[G|T]
+    either way); the win is the ~half of tile time that is NOT the big
+    contraction (measured: benchmarks/bf16_operand_probe.py upper-skip
+    diagnostic, RESULTS.md round 3)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_valid = n_ref[0]
+    bi = theta_i_ref.shape[0]
+    bj = gt_j_ref.shape[0]
+    p = theta_i_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        row_both_ref[:] = jnp.zeros_like(row_both_ref)
+        row_ksum_ref[:] = jnp.zeros_like(row_ksum_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        col_both_ref[:] = jnp.zeros_like(col_both_ref)
+        col_ksum_ref[:] = jnp.zeros_like(col_ksum_ref)
+
+    @pl.when(j >= i)
+    def _():
+        theta_i = theta_i_ref[:]
+        theta_j = gt_j_ref[:, p:]
+        D = (
+            rsq_i_ref[:]
+            + rsq_j_ref[:].reshape(1, bj)
+            - 2.0 * jnp.dot(theta_i, theta_j.T,
+                            preferred_element_type=jnp.float32)
+        )
+        K = jnp.exp2(D / h2_ref[0] * (-1.4426950408889634 / 2.0))
+        # Mask padded columns AND padded rows: the transpose-side column
+        # sums would otherwise absorb K values from zero-padded rows
+        # (their gt is zero, so the matmuls are safe — the sums are not).
+        col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
+        row = i * bi + jax.lax.broadcasted_iota(jnp.int32, K.shape, 0)
+        K = jnp.where((col < n_valid) & (row < n_valid), K, 0.0)
+
+        row_both_ref[:] += jnp.dot(K, gt_j_ref[:],
+                                   preferred_element_type=jnp.float32)
+        row_ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
+
+        @pl.when(j > i)
+        def _():
+            kt_gt = jax.lax.dot_general(
+                K, gt_i_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                           # K^T @ gt_i [bj, 2p]
+            csum = jnp.sum(K, axis=0)[:, None]          # [bj, 1]
+            sl = pl.ds(j * bj, bj)
+            col_both_ref[sl, :] += kt_gt
+            col_ksum_ref[sl, :] += csum
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret"),
+)
+def pallas_svgd_phi_sym(theta, grads, h2, block=512, interpret=False):
+    """Symmetric-traversal fused SVGD direction for [n, p] particles:
+    computes only the j >= i tiles of the streaming kernel, accumulating
+    each strictly-upper tile into both its row block and (via a VMEM-
+    resident whole-array accumulator) its column block. Semantically
+    identical to ``pallas_svgd_phi`` up to accumulation order (same exp2
+    kernel evaluation, same masking — the kernel_impl='pallas' tolerance
+    class; equivalence tested in tests/test_pallas.py).
+
+    **MEASURED NEGATIVE — kept as the documented artifact, not used by
+    any production path** (benchmarks/sym_and_gram_bench.py, RESULTS.md
+    round 3): at n=10240/p=128 the best symmetric variant (block=1024,
+    0.460 ms) only TIES the full-grid kernel (0.456 ms); block 512/768
+    are ~14% slower. The contraction FLOPs are conserved under symmetry
+    (only D/exp/mask halve), and the transpose-side lhs-contracted
+    dot_general plus the whole-array accumulator update eat exactly that
+    saving."""
+    n, p = theta.shape
+    f32 = jnp.float32
+    dtype = theta.dtype
+    b = min(block, max(8, n))
+    n_pad = -(-n // b) * b
+
+    theta_p = _pad_rows(theta.astype(f32), n_pad - n)
+    grads_p = _pad_rows(grads.astype(f32), n_pad - n)
+    gt = jnp.concatenate([grads_p, theta_p], axis=1)        # [n_pad, 2p]
+    rsq = jnp.sum(theta_p * theta_p, axis=1, keepdims=True)
+
+    grid = (n_pad // b, n_pad // b)
+    h2_arr = jnp.asarray(h2, f32).reshape(1)
+    n_arr = jnp.asarray(n, jnp.int32).reshape(1)
+
+    row_both, row_ksum, col_both, col_ksum = pl.pallas_call(
+        _svgd_sym_tile_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # h2
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # n
+            pl.BlockSpec((b, 1), lambda i, j: (i, 0)),         # rsq_i
+            pl.BlockSpec((b, p), lambda i, j: (i, 0)),         # theta_i
+            pl.BlockSpec((b, 1), lambda i, j: (j, 0)),         # rsq_j
+            pl.BlockSpec((b, 2 * p), lambda i, j: (j, 0)),     # gt_j
+            pl.BlockSpec((b, 2 * p), lambda i, j: (i, 0)),     # gt_i
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 2 * p), lambda i, j: (i, 0)),     # row_both
+            pl.BlockSpec((b, 1), lambda i, j: (i, 0)),         # row_ksum
+            pl.BlockSpec((n_pad, 2 * p), lambda i, j: (0, 0)),  # col_both
+            pl.BlockSpec((n_pad, 1), lambda i, j: (0, 0)),     # col_ksum
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 2 * p), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+            jax.ShapeDtypeStruct((n_pad, 2 * p), f32),
+            jax.ShapeDtypeStruct((n_pad, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * n_pad * 3 * p,
+            bytes_accessed=4 * (3 * n_pad * p * 2 + n_pad * n_pad // 64),
+            transcendentals=n_pad * n_pad // 2,
+        ),
+        interpret=interpret,
+    )(h2_arr, n_arr, rsq, theta_p, rsq, gt, gt)
+
+    both = (row_both + col_both)[:n]
+    ksum = (row_ksum + col_ksum)[:n]
+    attract = both[:, :p]
+    ktheta = both[:, p:]
+    h2f = jnp.asarray(h2, f32)
+    phi = (
+        attract + (ksum * theta.astype(f32) - ktheta) / h2f
+    ) / n
+    return phi.astype(dtype)
+
+
 def pallas_svgd_phi(theta, grads, h2, block_i=512, block_j=512,
                     interpret=False, precision="f32"):
     """Fused SVGD direction phi for [n, p] particles/gradients.

@@ -54,7 +54,8 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
                         mesh, particle_axis="particles", model_axis="model",
                         max_phi_norm=10.0, donate=True, remat=False,
                         median="exact", median_max_rows=512,
-                        median_passes=30, kernel=None):
+                        median_passes=30, kernel=None, kernel_impl="xla",
+                        pallas_block=512, pallas_interpret=False):
     """Build (step_fn, jitted_step, sharded_state) over a 2-D mesh.
 
     ``median``: "exact" gathers the full [n, n] D onto every device
@@ -75,6 +76,13 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
         # substituting the fused RBF path would sample the wrong geometry.
         if type(kernel) is SquaredExponentialKernel:
             kernel = None    # fused RBF path
+    if kernel_impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
+    if kernel_impl == "pallas" and kernel is not None:
+        raise ValueError(
+            "kernel_impl='pallas' implements the fused RBF tile only; "
+            "use kernel_impl='xla' for custom kernels"
+        )
     dp = mesh.shape[particle_axis]
     mp = mesh.shape[model_axis]
     if n_particles % dp != 0:
@@ -121,7 +129,8 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
             state, batch, compute_med_cold, grad_all=grad_all, gd=gd,
             kernel=kernel, n_particles=n_particles,
             particle_axis=particle_axis, model_axis=model_axis,
-            max_phi_norm=max_phi_norm,
+            max_phi_norm=max_phi_norm, kernel_impl=kernel_impl,
+            pallas_block=pallas_block, pallas_interpret=pallas_interpret,
         )
 
     state_specs = _state_specs_2d(
@@ -179,7 +188,9 @@ def _d_rows_2d(theta_blk, theta_cols, model_axis):
 
 
 def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
-                  n_particles, particle_axis, model_axis, max_phi_norm):
+                  n_particles, particle_axis, model_axis, max_phi_norm,
+                  kernel_impl="xla", pallas_block=512,
+                  pallas_interpret=False):
     """Shared body of the cold and warm 2-D steps: gathers, the psum'd
     Gram/distance rows, ``med = compute_med(D_rows)``, the kernel tiles,
     the two-axis clip, and the optimizer update. One copy, so the warm
@@ -211,7 +222,21 @@ def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
     from ..ops.rbf import bandwidth_sq_from_median
     h2 = bandwidth_sq_from_median(med, n_particles)
 
-    if kernel is None:
+    if kernel is None and kernel_impl == "pallas":
+        # Stream exp2 + contraction + row-sums over the materialised D
+        # rows — K never touches HBM (ops/pallas_svgd, on-D variant).
+        from ..ops.pallas_svgd import pallas_svgd_both_ksum_on_D
+        both, ksum = pallas_svgd_both_ksum_on_D(
+            D_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
+            h2, block_i=pallas_block, block_j=pallas_block,
+            interpret=pallas_interpret,
+        )
+        dt = theta_blk.dtype
+        attract = both[:, :p_loc].astype(dt)
+        ktheta = both[:, p_loc:].astype(dt)
+        phi = (attract + (ksum.astype(dt) * theta_blk - ktheta) / h2
+               ) / n_particles
+    elif kernel is None:
         K_rows = jnp.exp(-D_rows / h2 / 2.0)      # [n_loc, n] (replicated
                                                   #  over model axis)
         ksum = jnp.sum(K_rows, axis=1, keepdims=True)
@@ -267,7 +292,9 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
                              state, mesh, particle_axis="particles",
                              model_axis="model", max_phi_norm=10.0,
                              remat=False, median_max_rows=512,
-                             median_passes=30, warm_passes=8):
+                             median_passes=30, warm_passes=8,
+                             kernel_impl="xla", pallas_block=512,
+                             pallas_interpret=False):
     """Warm-median variant of the 2-D step for the scan loops (api.run /
     train_on_batches): carry is (SVGDState, med_prev); the warm counts
     run on the already-psum'd local D rows
@@ -299,6 +326,8 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
             grad_all=grad_all, gd=gd, kernel=None,
             n_particles=n_particles, particle_axis=particle_axis,
             model_axis=model_axis, max_phi_norm=max_phi_norm,
+            kernel_impl=kernel_impl, pallas_block=pallas_block,
+            pallas_interpret=pallas_interpret,
         )
         med_carry = aux["median"].astype(state.particles.dtype)
         return (new_state, med_carry), aux

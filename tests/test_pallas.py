@@ -92,3 +92,54 @@ def test_pallas_bf16_precision_close():
     np.testing.assert_allclose(
         np.asarray(phi_bf16), np.asarray(phi_ref), rtol=0.05, atol=5e-3
     )
+
+
+def test_sym_kernel_matches_full_grid():
+    """pallas_svgd_phi_sym (the measured-negative symmetric traversal —
+    kept as a documented artifact, RESULTS.md round 3) must still be
+    CORRECT: equivalent to the full-grid kernel up to accumulation
+    order, across padding shapes."""
+    import numpy as np
+    from stein_tpu.ops.pallas_svgd import (
+        pallas_svgd_phi,
+        pallas_svgd_phi_sym,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, p, b in [(40, 8, 16), (64, 8, 16), (100, 5, 32)]:
+        theta = jnp.asarray(rng.normal(size=(n, p)) * 0.3, jnp.float32)
+        grads = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+        h2 = jnp.float32(0.7)
+        ref = np.asarray(pallas_svgd_phi(
+            theta, grads, h2, block_i=b, block_j=b, interpret=True))
+        got = np.asarray(pallas_svgd_phi_sym(
+            theta, grads, h2, block=b, interpret=True))
+        err = np.abs(got - ref).max() / np.abs(ref).max()
+        assert err < 1e-5, (n, p, b, err)
+
+
+def test_on_d_kernel_matches_xla():
+    """pallas_svgd_both_ksum_on_D (the 2-D mesh tile: exp2 + contraction
+    over a materialised D block) vs the plain jnp computation."""
+    import numpy as np
+    from stein_tpu.ops.pallas_svgd import pallas_svgd_both_ksum_on_D
+
+    rng = np.random.default_rng(8)
+    m, n, p = 24, 56, 6
+    theta = rng.normal(size=(n, p)).astype(np.float32)
+    rows = theta[:m]
+    rsq_r = np.sum(rows * rows, 1)
+    rsq = np.sum(theta * theta, 1)
+    D = (rsq_r[:, None] + rsq[None, :] - 2.0 * rows @ theta.T)
+    gt = rng.normal(size=(n, 2 * p)).astype(np.float32)
+    h2 = 0.9
+    both, ksum = pallas_svgd_both_ksum_on_D(
+        jnp.asarray(D), jnp.asarray(gt), jnp.float32(h2),
+        block_i=16, block_j=16, interpret=True,
+    )
+    K = np.exp(-D / h2 / 2.0)
+    np.testing.assert_allclose(np.asarray(both), K @ gt, rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ksum), K.sum(axis=1, keepdims=True), rtol=2e-5,
+    )

@@ -276,7 +276,7 @@ def test_throughput_config_decision_tree():
 
     # Small n, f32: fully-fused tail.
     cfg = throughput_config(1000, 128)
-    assert cfg["step_impl"] == "fused" and cfg["median_impl"] == "fused"
+    assert cfg["step_impl"] == "fused_gram" and cfg["median_impl"] == "fused"
     # Large n, f32: Pallas tile + fused median + 128-row subsample.
     cfg = throughput_config(10240, 128)
     assert cfg.get("kernel_impl") == "pallas"
@@ -290,8 +290,8 @@ def test_throughput_config_decision_tree():
         assert "step_impl" not in cfg and "median_impl" not in cfg
         assert "kernel_impl" not in cfg
     # String f32 spelling still gets the fused path.
-    assert throughput_config(1000, 128,
-                             dtype="float32")["step_impl"] == "fused"
+    assert throughput_config(
+        1000, 128, dtype="float32")["step_impl"] == "fused_gram"
     # Mesh: psum'd searches only; 2-D meshes never get the Pallas tile.
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
     cfg = throughput_config(8192, 64, mesh=mesh)
@@ -337,7 +337,7 @@ def test_string_dtype_constructs_fused_paths():
 
     model = LinearRegressionModel(4)
     cfg = throughput_config(64, 4, dtype="float32")
-    assert cfg["step_impl"] == "fused"   # the guard-triggering branch
+    assert cfg["step_impl"] == "fused_gram"   # guard-triggering branch
     s = SVGDSampler(
         n_particles=64, log_p=model.log_p,
         param_template=model.template(), gd=Adam(learning_rate=1e-1),

@@ -377,7 +377,10 @@ def test_sharded_pallas_option_guards():
     with pytest.raises(ValueError, match="custom kernels"):
         SVGDSampler(**common, median="bisect",
                     kernel=InverseMultiquadricKernel())
-    with pytest.raises(ValueError, match="1-D particle meshes"):
+    # 2-D mesh + kernel_impl='pallas' is supported since r3
+    # (test_sharded2d.py::test_sharded2d_pallas_matches_xla); a custom
+    # kernel there still refuses the fused RBF tile.
+    with pytest.raises(ValueError, match="custom kernels"):
         from jax.sharding import Mesh
         import numpy as _np
         devs = _np.asarray(jax.devices()[:8]).reshape(4, 2)
@@ -387,6 +390,7 @@ def test_sharded_pallas_option_guards():
             theta=jnp.asarray(theta0), dtype=jnp.float64,
             mesh=Mesh(devs, ("particles", "model")), model_axis="model",
             kernel_impl="pallas", median="bisect",
+            kernel=InverseMultiquadricKernel(),
         )
 
 

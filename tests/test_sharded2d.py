@@ -221,3 +221,47 @@ def test_2d_sharded_divisibility_errors():
             log_p=model.log_p, unravel_fn=unravel, gd=gd,
             n_particles=16, n_params=7, state=state, mesh=mesh,
         )
+
+
+@requires_8_devices
+def test_sharded2d_pallas_matches_xla():
+    """kernel_impl='pallas' on the 2-D mesh (r3): exp2 + contraction
+    stream over the already-materialised D rows (K never in HBM) — must
+    track the 2-D XLA tile to the f32/exp2 tolerance class, with
+    bitwise-equal bisect medians on the same D rows at step 1."""
+    theta0, model, batch = _setup()
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64,
+        mesh=_mesh_4x2(), model_axis="model", median="bisect",
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), kernel_impl="pallas",
+                    pallas_interpret=True, **common)
+    aux_a = a.train_on_batch(batch)
+    aux_b = b.train_on_batch(batch)
+    assert float(aux_b["median"]) == float(aux_a["median"])
+    for _ in range(2):
+        a.train_on_batch(batch)
+        b.train_on_batch(batch)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-5, atol=1e-8)
+
+
+@requires_8_devices
+def test_sharded2d_warm_pallas_runs():
+    """warm_median composes with the 2-D Pallas tile."""
+    theta0, model, batch = _setup()
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64,
+        mesh=_mesh_4x2(), model_axis="model", median="bisect",
+        warm_median=True, warm_passes=8,
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1), kernel_impl="pallas",
+                    pallas_interpret=True, **common)
+    a.run(batch, 4)
+    b.run(batch, 4)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-5, atol=1e-8)

@@ -365,6 +365,20 @@ def test_f32_fused_step_matches_f64_oracle():
     _assert_trajectory_close(got, ref, amb, "fused step tail", bound=5e-3)
 
 
+def test_f32_fused_gram_step_matches_f64_oracle():
+    """step_impl='fused_gram' (D computed by the IN-KERNEL dot —
+    bf16-class inputs, ~2e-3 rel on D, the same class as the Pallas
+    streaming tile; benchmarks/sym_and_gram_bench.py precision audit)
+    vs the f64 oracle at the Pallas-class tolerances."""
+    X, y, theta0 = _linreg_problem(seed=5, n_particles=384, n_feats=64)
+    ref, amb = _oracle_trajectory(X, y, theta0, 5, amb_tol=3e-3)
+    got = _tpu_trajectory(X, y, theta0, 5, median="bisect",
+                          median_passes=40, warm_median=True,
+                          warm_passes=16, step_impl="fused_gram")
+    _assert_trajectory_close(got, ref, amb, "fused_gram step tail",
+                             bound=5e-3)
+
+
 def test_fused_step_matches_xla_warm_on_chip():
     """The compiled fused tail vs the XLA warm path on the REAL chip — a
     gross-miscompile guard (wrong optimizer state, wrong contraction,
@@ -403,7 +417,7 @@ def test_fused_step_posterior_statistics_on_chip():
     y = X @ w_true + rng.normal(size=(n_obs, 1)) * 0.5
 
     cfg = throughput_config(n, p)
-    assert cfg["step_impl"] == "fused"   # the config under test
+    assert cfg["step_impl"] == "fused_gram"   # the config under test
     model = LinearRegressionModel(p)
     s = SVGDSampler(
         n_particles=n, log_p=model.log_p, param_template=model.template(),
@@ -426,3 +440,70 @@ def test_fused_step_posterior_statistics_on_chip():
     assert err.max() < 6 * mc.max(), (err.max(), mc.max())
     ratio = samples.var(axis=0) / np.diag(cov)
     assert np.all(ratio > 0.5) and np.all(ratio < 1.6), ratio
+
+
+def test_ring_layout_bitwise_vs_single_chip():
+    """The compiled ring layout (comm='ring' + bisect/warm median +
+    Pallas tiles, production-parity since r3) on a 1-device mesh must
+    match the single-chip Pallas step bitwise: the ring-assembled
+    median block holds the same entries (order-invariant counts) and
+    the degenerate single-rotation tile is the same kernel call."""
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.parallel import particle_mesh
+
+    X, y, theta0 = _linreg_problem(seed=6, n_particles=256, n_feats=128)
+    model = LinearRegressionModel(X.shape[1])
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    for warm in (False, True):
+        common = dict(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(), median="bisect",
+            median_passes=40, kernel_impl="pallas", pallas_block=128,
+            theta=jnp.asarray(theta0, jnp.float32), warm_median=warm,
+        )
+        single = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+        ring = SVGDSampler(
+            gd=Adam(learning_rate=1e-1),
+            mesh=particle_mesh(jax.devices()[:1]), comm="ring", **common,
+        )
+        single.run(batch, 4)
+        ring.run(batch, 4)
+        err = np.max(np.abs(ring.samples - single.samples))
+        label = "warm" if warm else "cold"
+        print(f"[fidelity] ring-{label}: max abs {err:.3e}")
+        assert err == 0.0, (
+            f"ring {label} step deviates from single-chip by {err:.3e} "
+            "on a 1-device mesh (expected bitwise identity)"
+        )
+
+
+def test_streaming_ksd_at_scale_on_chip():
+    """ksd() at n=10240 runs the streaming row-blocked form (r2 verdict
+    item #8: the dense form materialised ~1.2 GB of HIGHEST matrices).
+    Pin that it executes on-chip at scale, is finite, and agrees with a
+    dense KSD on a strided subsample of the same particles to the
+    f32 tolerance expected of the estimator's scale."""
+    import time
+    from stein_tpu.ops.diagnostics import ksd_rbf
+
+    rng = np.random.default_rng(9)
+    n, p = 10240, 64
+    theta = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    grads = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    h2 = jnp.float32(1.3)
+    val = float(ksd_rbf(theta, grads, h2=h2))      # compiles + runs
+    assert np.isfinite(val)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        val = float(ksd_rbf(theta, grads, h2=h2))
+    dt = (time.perf_counter() - t0) / 5
+    print(f"[fidelity] streaming KSD n={n}: {val:.4e}, {dt*1e3:.1f} ms "
+          "(incl. host fetch RTT)")
+    # The streamed full-population value should be close to the dense
+    # KSD of a strided half (a consistency sanity, not an equality:
+    # U-statistics over sub-populations differ by O(1/sqrt(m))).
+    sub = ksd_rbf(theta[::2], grads[::2], h2=h2)
+    assert abs(val - float(sub)) < 0.5 * abs(val) + 1e-3
