@@ -1,53 +1,97 @@
-"""Analytic scaling model for particle-sharded SVGD (printed, not measured
-— this workstation has one chip; multi-chip execution is validated
-functionally on a fake-device mesh and via __graft_entry__.dryrun_multichip).
+"""Analytic scaling model for particle-sharded SVGD — PROJECTED, not
+measured (this workstation has one chip; multi-chip execution is
+validated functionally on the fake-device CPU mesh, the 2-process gRPC
+test, and __graft_entry__.dryrun_multichip).
 
-Per step and host, with n particles over H hosts, p params:
-- compute: the kernel tiles dominate — 6 (n/H) n p flops (Gram + combined
-  [K@G | K@theta] contraction), at the measured per-chip rate;
-- communication: all_gather (or ring-circulate — same total volume) of the
-  [n, p] particle and gradient matrices: 2 n p * 4 bytes in, of which the
-  host's own block (2 n p / H) is local, i.e. 8 n p (1 - 1/H) bytes over
-  ICI per step; plus O(bins) for the psum'd median histogram and O(1) for
-  the clip norm (negligible).
+Anchored to measured single-chip quantities (benchmarks/RESULTS.md):
 
-Efficiency(H) = t_compute(H) / (t_compute(H) + t_comm(H)) assuming no
-overlap (pessimistic: the ring layout overlaps block transfer with tile
-compute).
+- kernel-tile rate: the f32 Pallas phi tile at n=10240/p=128 runs
+  0.447-0.456 ms = 6 n^2 p / t ~= 180 TF/s-equivalent;
+- the full measured step at n=10240 (warm, fused median, mr128) is
+  ~0.52-0.62 ms, i.e. ~0.08-0.16 ms of non-tile work (grads, median
+  counts, clip, optimizer) — carried as T_OTHER;
+- collective MACHINERY cost on a real 1-device mesh (shard_map +
+  degenerate all_gather + psum'd clip/counts): measured within the
+  tunnel's +-10% noise of the single-chip step, i.e. bounded by a few
+  tens of us — consistent with the per-collective latency term below;
+- serial collective COUNT per step (the latency-bound phase): the warm
+  sharded search issues 1 batched psum (bracket verify) + 1 per
+  quad-ary round + 1 clip psum + 1 block gather/circulation; cold
+  bisect replaces the 1+rounds warm psums with 1+ceil(passes/2).
+
+Per-host model, n particles over H hosts, p params:
+
+- compute: 6 (n/H) n p flops at the measured rate;
+- comm volume: all_gather of [n, p] particles+grads = 8 n p (1 - 1/H)
+  bytes over ICI (no overlap assumed — pessimistic); the ring layout
+  transfers the same volume but overlaps each hop's block with the
+  previous hop's tile: per hop max(tile/H, block);
+- collective latency: N_COLL serial collectives x (H - 1) hops x
+  HOP_LAT (ring all-reduce; a torus/tree does better — pessimistic).
+
+Efficiency(H) = t_step(1) / (H * t_step(H) / 1) compared against the
+>=80% @ >=2 hosts target (BASELINE.md). CLEARLY PROJECTED: the ICI
+bandwidth and hop latency are public v5e-class figures, not measured
+here.
 
 Run: python benchmarks/scaling_model.py [--n 10240] [--p 128]
+Unit-tested in tests/test_scaling_model.py.
 """
 
 import argparse
 
-# Measured on one TPU v5-lite chip: the f32-faithful Pallas phi tile at
-# n=10240/p=128 runs 0.447 ms = 6*n^2*p / 0.447ms ~= 180 TF/s-equivalent
-# (benchmarks/pallas_variants.py, round 2 — supersedes the round-1
-# 145 TF/s figure, which was measured at default (bf16-input) precision).
+# Measured on one TPU v5-lite chip (benchmarks/RESULTS.md round 2/3).
 MEASURED_TFLOPS = 180.0
+# Measured non-tile step remainder at n=10240/p=128 (grads + median
+# counts + clip + Adam), seconds. This work is elementwise/row-local
+# over the particle shard, so it scales ~1/H, on top of a fixed
+# per-step dispatch floor.
+T_OTHER_S = 1.0e-4
+T_FIXED_S = 5.0e-6
 # Public per-link ICI figure for v5e-class chips, one direction.
 ICI_BYTES_PER_S = 4.5e10
+# Public order-of-magnitude per-hop ICI latency. The 1-device-mesh
+# measurement bounds the whole collective machinery at <= tens of us,
+# consistent with this scale.
+HOP_LAT_S = 2.0e-6
+# Serial collectives per warm step: bracket psum + 3 quad-ary-round
+# psums (warm_passes=6..8) + clip psum + the gather/circulation itself.
+N_COLL_WARM = 6
+N_COLL_COLD = 11        # 1 + ceil(16/2) + clip + gather
 
 
-def efficiency(n, p, hosts, tflops=MEASURED_TFLOPS, ici=ICI_BYTES_PER_S):
-    """all_gather layout, no compute/comm overlap (pessimistic bound)."""
+def step_time(n, p, hosts, layout="all_gather", warm=True,
+              tflops=MEASURED_TFLOPS, ici=ICI_BYTES_PER_S,
+              hop_lat=HOP_LAT_S, t_other=T_OTHER_S):
+    """Projected per-step wall time (seconds) for one host.
+
+    Returns (t_total, parts dict)."""
     flops = 6.0 * (n / hosts) * n * p
-    t_compute = flops / (tflops * 1e12)
-    comm_bytes = 8.0 * n * p * (1.0 - 1.0 / hosts)
-    t_comm = comm_bytes / ici
-    return t_compute / (t_compute + t_comm), t_compute, t_comm
+    t_tile = flops / (tflops * 1e12)
+    n_coll = N_COLL_WARM if warm else N_COLL_COLD
+    t_lat = n_coll * (hosts - 1) * hop_lat
+    t_other = t_other / hosts + T_FIXED_S
+    if layout == "ring":
+        # Per hop: the next [n/H, 2p] block rides ICI while the current
+        # [n/H, n/H] tile computes; H hops.
+        t_hop_tile = t_tile / hosts
+        t_block = 8.0 * (n / hosts) * p / ici if hosts > 1 else 0.0
+        t_kernel = hosts * max(t_hop_tile, t_block)
+    elif layout == "all_gather":
+        t_comm = 8.0 * n * p * (1.0 - 1.0 / hosts) / ici
+        t_kernel = t_tile + t_comm          # no overlap: pessimistic
+    else:
+        raise ValueError(layout)
+    t_total = t_kernel + t_lat + t_other
+    return t_total, {"tile": t_tile, "lat": t_lat, "kernel": t_kernel,
+                     "other": t_other}
 
 
-def ring_efficiency(n, p, hosts, tflops=MEASURED_TFLOPS,
-                    ici=ICI_BYTES_PER_S):
-    """comm='ring' layout: per ring step the next [n/H, 2p] block transfers
-    over ICI while the current tile (6 (n/H)^2 p flops) computes; the step
-    takes max(tile, transfer) per hop, H hops."""
-    t_tile = 6.0 * (n / hosts) ** 2 * p / (tflops * 1e12)
-    t_block = 8.0 * (n / hosts) * p / ici
-    t_step = hosts * max(t_tile, t_block)
-    t_ideal = hosts * t_tile          # = single-chip time / H
-    return t_ideal / t_step, t_tile, t_block
+def efficiency(n, p, hosts, layout="all_gather", **kw):
+    """Scaling efficiency vs perfect linear speedup of the 1-host step."""
+    t1, _ = step_time(n, p, 1, layout=layout, **kw)
+    tH, _ = step_time(n, p, hosts, layout=layout, **kw)
+    return t1 / (hosts * tH)
 
 
 def main():
@@ -55,24 +99,31 @@ def main():
     ap.add_argument("--n", type=int, default=10240)
     ap.add_argument("--p", type=int, default=128)
     args = ap.parse_args()
-    n, p = args.n, args.p
-    print(f"n={n} p={p} (kernel path; measured {MEASURED_TFLOPS} TF/s, "
-          f"ICI {ICI_BYTES_PER_S/1e9:.0f} GB/s)")
-    print(f"{'H':>4} | {'all_gather (no overlap)':^28} | "
-          f"{'ring (overlapped)':^24}")
-    for hosts in [1, 2, 4, 8, 16, 32]:
-        eff, tc, tm = efficiency(n, p, hosts)
-        reff, tt, tb = ring_efficiency(n, p, hosts)
-        print(f"{hosts:4d} | compute {tc*1e3:6.3f}ms comm {tm*1e3:6.3f}ms "
-              f"eff {eff*100:5.1f}% | tile {tt*1e3:6.3f}ms "
-              f"eff {reff*100:5.1f}%")
+    p = args.p
+    print(f"PROJECTED scaling (measured chip rate {MEASURED_TFLOPS} TF/s, "
+          f"public ICI {ICI_BYTES_PER_S/1e9:.0f} GB/s, "
+          f"hop {HOP_LAT_S*1e6:.0f} us, p={p})")
+    hosts_list = [1, 2, 4, 8, 16, 32]
+    header = f"{'n':>7} | " + " | ".join(
+        f"H={h:<2} ag/ring" for h in hosts_list[1:]
+    )
+    print(header)
+    for n in (args.n, 4 * args.n, 16 * args.n):
+        row = [f"{n:7d}"]
+        for h in hosts_list[1:]:
+            ag = efficiency(n, p, h, "all_gather")
+            ri = efficiency(n, p, h, "ring")
+            row.append(f"{ag*100:4.0f}%/{ri*100:4.0f}%")
+        print(" | ".join(row))
+    t1, parts = step_time(args.n, p, 1)
+    print(f"1-host anchor at n={args.n}: {t1*1e3:.3f} ms projected "
+          f"(measured ~0.52-0.62 ms at n=10240 — the model's anchor)")
     print(
-        "The ring stays >=80% efficient while a tile outweighs a block "
-        "transfer: (n/H) >= 8*tflops*1e12 / (6*ici) "
+        "The ring stays >=80% efficient while a per-hop tile outweighs a "
+        "block transfer: (n/H) >= 8*tflops*1e12/(6*ici) "
         f"~= {8*MEASURED_TFLOPS*1e12/(6*ICI_BYTES_PER_S):,.0f} particles "
-        "per host — the regime the >=80% multi-host target (BASELINE.md) "
-        "addresses. Below that, comm-bound; above, compute-bound and "
-        "near-linear."
+        "per host. Below that, comm-bound; above, near-linear. "
+        "ALL multi-host numbers are projections (one real chip here)."
     )
 
 
