@@ -90,8 +90,15 @@ def slope_time(sampler, batch, K=200, R=4, reps=3):
     return max(tR - t1, 1e-9) / ((R - 1) * K)
 
 
-def make_sampler(X, y, theta0, **sampler_kwargs):
-    """The benchmark workload: p=128 Bayesian linear regression."""
+def make_sampler(X, y, theta0, suff_stats=False, glm=False,
+                 **sampler_kwargs):
+    """The benchmark workload: p=128 Bayesian linear regression.
+    ``suff_stats=True`` feeds the precomputed X^T X / X^T y batch form
+    (exact algebra); ``glm=True`` additionally wires the quadratic form
+    into the fully-fused GLM step (step_impl='fused_glm' — the whole
+    step as ONE kernel, benchmarks/RESULTS.md r3). Both are reported as
+    extras, never as the primary metric (the primary keeps per-step
+    work identical to the NumPy oracle's)."""
     import jax.numpy as jnp
     from stein_tpu import SVGDSampler, Adam
     from stein_tpu.models import LinearRegressionModel
@@ -99,6 +106,11 @@ def make_sampler(X, y, theta0, **sampler_kwargs):
     model = LinearRegressionModel(N_PARAMS)
     batch = {"X": jnp.asarray(X, jnp.float32),
              "y": jnp.asarray(y, jnp.float32)}
+    if suff_stats or glm:
+        batch = model.sufficient_batch(batch)
+    if glm:
+        sampler_kwargs = dict(sampler_kwargs, step_impl="fused_glm",
+                              quadratic_form=model.quadratic_form)
     sampler = SVGDSampler(
         n_particles=theta0.shape[0],
         log_p=model.log_p,
@@ -176,6 +188,15 @@ def main():
                               # (benchmarks/sym_and_gram_bench.py)
     )
 
+    # Extra: the same n=1k workload through the fully-fused GLM step
+    # (sufficient-statistics batch + in-kernel gradients — the whole
+    # step is ONE kernel; exact algebra, benchmarks/RESULTS.md r3).
+    t_glm = bench_jax(
+        X, y, theta0, K=1000, R=10, reps=5, glm=True,
+        median="bisect", median_passes=16, warm_median=True,
+        warm_passes=6, median_impl="fused",
+    )
+
     # Config 2: n=10240, Pallas streaming kernel + bisect median
     # (BASELINE.json config #4 — "blocked kernel-matrix tiles, on-device
     # median heuristic").
@@ -202,6 +223,8 @@ def main():
             "n10240_updates_per_s": round(n2 / t_jax2, 1),
             "n10240_step_ms": round(t_jax2 * 1e3, 4),
             "n1000_step_us": round(t_jax * 1e6, 2),
+            "n1000_glm_updates_per_s": round(n1 / t_glm, 1),
+            "n1000_glm_step_us": round(t_glm * 1e6, 2),
         },
     }))
 

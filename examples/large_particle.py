@@ -60,13 +60,17 @@ def main():
                          "or binned — the sharded step has no "
                          "'subsample' mode and guards large-n 'exact')")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--precision", type=str, default="high",
+                    choices=["high", "default", "highest"],
+                    help="model data-matmul precision: 'high' = f32-faithful\n(default); 'default' = the TPU's native bf16-input rate\n(~6e-4 phi class, see models/distributions.py)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     X = rng.normal(size=(args.n_obs, args.n_feats))
     w_true = rng.normal(size=(args.n_feats, 1))
     y = X @ w_true + rng.normal(size=(args.n_obs, 1)) * 0.5
-    model = LinearRegressionModel(args.n_feats)
+    model = LinearRegressionModel(args.n_feats,
+                                  precision=args.precision)
     batch = {"X": jnp.asarray(X, jnp.float32), "y": jnp.asarray(y, jnp.float32)}
 
     mesh_kwargs = {}

@@ -69,6 +69,9 @@ def main():
                          "dataset with the reference's semantics "
                          "(logistic_regression/main.py:11-16) instead of "
                          "synthetic data")
+    ap.add_argument("--precision", type=str, default="high",
+                    choices=["high", "default", "highest"],
+                    help="model data-matmul precision: 'high' = f32-faithful\n(default); 'default' = the TPU's native bf16-input rate\n(~6e-4 phi class, see models/distributions.py)")
     args = ap.parse_args()
 
     if args.data:
@@ -87,7 +90,8 @@ def main():
     X_test, y_test = X[test_idx], y[test_idx]
     n_train, n_feats = X_train.shape
 
-    model = LogisticRegressionModel(n_feats, n_train, args.n_batch)
+    model = LogisticRegressionModel(n_feats, n_train, args.n_batch,
+                                    precision=args.precision)
     test_batch = {"X": jnp.asarray(X_test, jnp.float32),
                   "y": jnp.asarray(y_test, jnp.float32)}
 

@@ -371,7 +371,7 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
                             max_phi_norm=10.0, remat=False,
                             median_max_rows=512, median_passes=30,
                             warm_passes=8, pallas_interpret=False,
-                            gram_in_kernel=False):
+                            gram_in_kernel=False, quadratic_form=None):
     """Scan-carried warm step whose ENTIRE post-gradient tail (warm median
     -> K -> contractions -> clip -> optimizer) is one Pallas kernel
     (ops/pallas_step.fused_warm_step_tail) — the small-n dispatch-latency
@@ -394,26 +394,46 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
     def step_fn(carry, batch):
         state, med_prev = carry
         theta = state.particles
-        log_p_vals, grads = grad_all(theta, batch)
-        if gram_in_kernel:
-            new_theta, new_opt, (med, norm, h2) = fused_warm_step_tail(
-                theta, grads, None, None, med_prev,
-                state.opt_state, gd, max_phi_norm=max_phi_norm,
-                warm_passes=warm_passes, interpret=pallas_interpret,
-                gram_in_kernel=True,
-                theta_sub=subsample_rows(theta, median_max_rows),
-            )
+        if quadratic_form is not None:
+            # step_impl='fused_glm': gradients AND log_p values come
+            # from the quadratic form INSIDE the kernel — no XLA
+            # gradient stage at all.
+            A_eff, b_eff, const = quadratic_form(batch)
+            new_theta, new_opt, (med, norm, h2, logp_m) = \
+                fused_warm_step_tail(
+                    theta, None, None, None, med_prev,
+                    state.opt_state, gd, max_phi_norm=max_phi_norm,
+                    warm_passes=warm_passes, interpret=pallas_interpret,
+                    gram_in_kernel=True, glm=(A_eff, b_eff),
+                    theta_sub=subsample_rows(theta, median_max_rows),
+                )
+            log_p_mean = logp_m + const
         else:
-            D = pairwise_sq_dists(theta)
-            new_theta, new_opt, (med, norm, h2) = fused_warm_step_tail(
-                theta, grads, D, _strided_rows(D, median_max_rows),
-                med_prev, state.opt_state, gd, max_phi_norm=max_phi_norm,
-                warm_passes=warm_passes, interpret=pallas_interpret,
-            )
+            log_p_vals, grads = grad_all(theta, batch)
+            log_p_mean = jnp.mean(log_p_vals)
+            if gram_in_kernel:
+                new_theta, new_opt, (med, norm, h2) = \
+                    fused_warm_step_tail(
+                        theta, grads, None, None, med_prev,
+                        state.opt_state, gd, max_phi_norm=max_phi_norm,
+                        warm_passes=warm_passes,
+                        interpret=pallas_interpret, gram_in_kernel=True,
+                        theta_sub=subsample_rows(theta, median_max_rows),
+                    )
+            else:
+                D = pairwise_sq_dists(theta)
+                new_theta, new_opt, (med, norm, h2) = \
+                    fused_warm_step_tail(
+                        theta, grads, D,
+                        _strided_rows(D, median_max_rows), med_prev,
+                        state.opt_state, gd, max_phi_norm=max_phi_norm,
+                        warm_passes=warm_passes,
+                        interpret=pallas_interpret,
+                    )
         new_state = SVGDState(new_theta, new_opt, state.step + 1)
         aux = {
             "phi_norm": norm,
-            "log_p_mean": jnp.mean(log_p_vals),
+            "log_p_mean": log_p_mean,
             "h2": h2,
             "median": med,
         }
@@ -568,9 +588,9 @@ class SVGDSampler:
         search with no hint; blocks under 100k entries keep the XLA
         dual-rank search). Requires median='bisect' and f32;
         single-device only (the mesh searches psum across shards).
-    step_impl : "xla" (default) | "fused" | "fused_gram" — "fused"
-        collapses the ENTIRE post-gradient tail (warm median -> K ->
-        contractions -> clip -> optimizer) into one Pallas kernel
+    step_impl : "xla" (default) | "fused" | "fused_gram" | "fused_glm" —
+        "fused" collapses the ENTIRE post-gradient tail (warm median ->
+        K -> contractions -> clip -> optimizer) into one Pallas kernel
         (ops/pallas_step.fused_warm_step_tail). Gradients and the
         HIGHEST-precision Gram stay in XLA (deployed D numerics identical
         to the XLA path); K/phi take the streaming tile's exp2 form, so
@@ -582,8 +602,15 @@ class SVGDSampler:
         dot inputs, ~2e-3 rel on D; precision audit in
         benchmarks/sym_and_gram_bench.py, posterior statistics pinned
         by tests/test_statistical.py and tests_tpu/) — the
-        measured-fastest small-n configuration (27 vs 36 us at
-        n=1000/p=128). Extra warm rounds cost ~2-6 us each even
+        measured-fastest generic small-n configuration (27 vs 36 us at
+        n=1000/p=128). "fused_glm" goes further for models exposing
+        their log-posterior as an explicit quadratic (pass
+        ``quadratic_form=``, e.g. LinearRegressionModel.quadratic_form):
+        the per-particle gradients and log_p values are computed INSIDE
+        the kernel from (A_eff, b_eff), so the whole SVGD step is ONE
+        kernel — 16.1 us = 62M updates/s at n=1000/p=128, exact-algebra
+        gradients (benchmarks/RESULTS.md r3). Extra warm rounds cost
+        ~2-6 us each even
         in-kernel (sequential scalar-synced VMEM passes — measured,
         benchmarks/fused_step_bench.py), much less than an XLA dispatch
         but not free. Requires warm_median=True, the default RBF kernel,
@@ -601,7 +628,7 @@ class SVGDSampler:
                  kernel=None, binned_bins=4096, binned_block_rows=256,
                  median_passes=30, warm_median=False, warm_passes=8,
                  pallas_precision="f32", median_impl="xla",
-                 step_impl="xla"):
+                 step_impl="xla", quadratic_form=None):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -719,9 +746,22 @@ class SVGDSampler:
                     "TPU-native float); use median_impl='xla' with "
                     f"dtype={dtype}"
                 )
-            if step_impl not in ("xla", "fused", "fused_gram"):
+            _fused_steps = ("fused", "fused_gram", "fused_glm")
+            if step_impl not in ("xla",) + _fused_steps:
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
-            if step_impl in ("fused", "fused_gram"):
+            if step_impl == "fused_glm" and quadratic_form is None:
+                raise ValueError(
+                    "step_impl='fused_glm' needs quadratic_form= (the "
+                    "model's log_p as an explicit quadratic, e.g. "
+                    "LinearRegressionModel.quadratic_form) — the kernel "
+                    "computes the gradients from it"
+                )
+            if quadratic_form is not None and step_impl != "fused_glm":
+                raise ValueError(
+                    "quadratic_form is consumed only by "
+                    "step_impl='fused_glm'"
+                )
+            if step_impl in _fused_steps:
                 from .ops.pallas_step import (
                     FUSED_STEP_VMEM_BUDGET,
                     fused_step_fits,
@@ -762,7 +802,7 @@ class SVGDSampler:
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
                     )
-                if step_impl in ("fused", "fused_gram"):
+                if step_impl in ("fused", "fused_gram", "fused_glm"):
                     self._warm_step_fn, self._warm_init_med = \
                         make_fused_warm_step_fn(
                             log_p, self.unravel_fn, gd,
@@ -771,7 +811,11 @@ class SVGDSampler:
                             median_passes=median_passes,
                             warm_passes=warm_passes,
                             pallas_interpret=pallas_interpret,
-                            gram_in_kernel=(step_impl == "fused_gram"),
+                            gram_in_kernel=(step_impl != "fused"),
+                            quadratic_form=(
+                                quadratic_form
+                                if step_impl == "fused_glm" else None
+                            ),
                         )
                 else:
                     warm_phi = make_warm_phi_fn(
@@ -803,7 +847,8 @@ class SVGDSampler:
                     "warm search psums counts across shards; the fused "
                     "kernel cannot contain a collective)"
                 )
-            if step_impl not in ("xla", "fused", "fused_gram"):
+            if step_impl not in ("xla", "fused", "fused_gram",
+                                 "fused_glm"):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl != "xla":
                 raise ValueError(

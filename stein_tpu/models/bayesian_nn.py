@@ -11,14 +11,13 @@ rescaled by n_train/n_batch, and the whole log-posterior divided by n_train.
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
-from .distributions import normal_log_prob, gamma_log_prob
-
-# HIGH-precision data matmuls: f32-faithful gradients on TPU (see
-# models/linear_regression.py for the full rationale).
-_HI = jax.lax.Precision.HIGH
+from .distributions import (
+    normal_log_prob,
+    gamma_log_prob,
+    resolve_precision,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,6 +28,13 @@ class BayesianNNModel:
     n_batch: int
     prior_alpha: float = 1.0
     prior_beta: float = 0.01
+    # "high" = f32-faithful gradients (default); "default" = the TPU's
+    # native bf16-input rate (see distributions.resolve_precision).
+    precision: str = "high"
+
+    @property
+    def _prec(self):
+        return resolve_precision(self.precision)
 
     def template(self, dtype=jnp.float32):
         return {
@@ -42,10 +48,11 @@ class BayesianNNModel:
 
     def predict(self, params, batch):
         h = jnp.maximum(
-            jnp.matmul(batch["X"], params["w_1"], precision=_HI)
+            jnp.matmul(batch["X"], params["w_1"], precision=self._prec)
             + params["b_1"], 0.0,
         )
-        return jnp.matmul(h, params["w_2"], precision=_HI) + params["b_2"]
+        return (jnp.matmul(h, params["w_2"], precision=self._prec)
+                + params["b_2"])
 
     def log_p(self, params, batch):
         lam = jnp.exp(params["log_lambda"])

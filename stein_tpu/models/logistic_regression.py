@@ -11,14 +11,13 @@ reparameterisation — we reproduce that choice exactly.
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
-from .distributions import normal_log_prob, gamma_log_prob
-
-# HIGH-precision data matmuls: f32-faithful gradients on TPU (see
-# models/linear_regression.py for the full rationale).
-_HI = jax.lax.Precision.HIGH
+from .distributions import (
+    normal_log_prob,
+    gamma_log_prob,
+    resolve_precision,
+)
 
 
 def sigmoid_cross_entropy_with_logits(labels, logits):
@@ -36,6 +35,13 @@ class LogisticRegressionModel:
     n_feats: int
     n_train: int
     n_batch: int
+    # "high" = f32-faithful gradients (default); "default" = the TPU's
+    # native bf16-input rate (see distributions.resolve_precision).
+    precision: str = "high"
+
+    @property
+    def _prec(self):
+        return resolve_precision(self.precision)
 
     def template(self, dtype=jnp.float32):
         return {
@@ -44,12 +50,12 @@ class LogisticRegressionModel:
         }
 
     def logits(self, params, batch):
-        return jnp.matmul(batch["X"], params["w"], precision=_HI)
+        return jnp.matmul(batch["X"], params["w"], precision=self._prec)
 
     def log_p(self, params, batch):
         w = params["w"]
         alpha = jnp.exp(params["log_alpha"])
-        logits = jnp.matmul(batch["X"], w, precision=_HI)
+        logits = jnp.matmul(batch["X"], w, precision=self._prec)
         log_l = -jnp.sum(
             sigmoid_cross_entropy_with_logits(batch["y"], logits)
         )

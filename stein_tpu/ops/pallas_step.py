@@ -77,11 +77,11 @@ def fused_step_fits(n, p, median_max_rows=512):
 def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
                  n_particles):
     (n_scalar_in, n_array_in, treedef, scalar_pos, share_dsub,
-     gram_in_kernel) = meta
+     gram_in_kernel, glm) = meta
     # in refs: med, *opt_scalars,
     #          D, [Dsub]            (gram_in_kernel=False)  or
-    #          [theta_sub]          (gram_in_kernel=True),
-    #          theta, grads, *opt_arrays
+    #          [A_eff, b_eff,] [theta_sub]   (gram_in_kernel=True),
+    #          theta, [grads,] *opt_arrays   (grads absent when glm)
     # out refs: new_theta, *new_opt_arrays, *new_opt_scalars, stats
     idx = 0
     med_ref = refs[idx]; idx += 1
@@ -93,10 +93,18 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
             Dsub_ref = D_ref
         else:
             Dsub_ref = refs[idx]; idx += 1
-    elif not share_dsub:
-        theta_sub_ref = refs[idx]; idx += 1
+    else:
+        if glm:
+            A_ref = refs[idx]; idx += 1
+            b_ref = refs[idx]; idx += 1
+        if not share_dsub:
+            theta_sub_ref = refs[idx]; idx += 1
     theta_ref = refs[idx]; idx += 1
-    grads_ref = refs[idx]; idx += 1
+    if glm:
+        grads = None
+    else:
+        grads_ref = refs[idx]; idx += 1
+        grads = grads_ref[:]
     array_in = refs[idx:idx + n_array_in]; idx += n_array_in
     out_theta = refs[idx]; idx += 1
     out_arrays = refs[idx:idx + n_array_in]; idx += n_array_in
@@ -104,8 +112,22 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     stats_ref = refs[idx]
 
     theta = theta_ref[:]
-    grads = grads_ref[:]
     f32 = jnp.float32
+
+    logp_mean = jnp.float32(0.0)
+    if glm:
+        # GLM fast path: the log-posterior is the explicit quadratic
+        # log_p(w) = -0.5 w^T A w + b^T w + c, so the per-particle
+        # gradients are ONE [n, p] x [p, p] in-kernel dot (b - theta A;
+        # A symmetric) and the per-particle log_p values come from the
+        # shared product — the whole SVGD step is now a single kernel.
+        G = jnp.dot(theta, A_ref[:], preferred_element_type=f32)
+        b_row = b_ref[:]                               # [1, p]
+        grads = b_row - G
+        # mean_i log_p_i (minus the constant) as ONE full reduction —
+        # sum_i [-0.5 theta_i.G_i + theta_i.b] = sum_ij theta*(b - G/2);
+        # rank-1 intermediates avoided (Mosaic legalization).
+        logp_mean = jnp.sum(theta * (b_row - 0.5 * G)) / theta.shape[0]
 
     if gram_in_kernel:
         # D = r + r^T - 2 T T^T (abstract_kernel.py:33-35) on the
@@ -189,12 +211,15 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     stats_ref[0] = med
     stats_ref[1] = norm
     stats_ref[2] = h2
+    if glm:
+        stats_ref[3] = logp_mean
 
 
 def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                          max_phi_norm=10.0, warm_passes=8,
                          brackets=DEFAULT_BRACKETS, interpret=False,
-                         gram_in_kernel=False, theta_sub=None):
+                         gram_in_kernel=False, theta_sub=None,
+                         glm=None):
     """One-kernel step tail. Returns (new_theta, new_opt_state,
     (med, phi_norm, h2)).
 
@@ -211,14 +236,29 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     touches HBM. ``theta_sub`` must then be the strided subsample rows
     of theta (ops/median.row_subsample_block's row policy), or None when
     every row is kept (n <= max_rows).
+
+    ``glm=(A_eff, b_eff)`` (step_impl='fused_glm'; requires
+    gram_in_kernel and grads=None): the log-posterior is the quadratic
+    -0.5 w^T A w + b^T w + c (the model's ``quadratic_form`` contract),
+    so the per-particle gradients b - A w are computed INSIDE the kernel
+    too — the whole SVGD step is one kernel. Returns an extra stat:
+    mean_i (log_p_i - c) (add the constant outside).
     """
     n, p = theta.shape
+    if glm is not None and not gram_in_kernel:
+        raise ValueError("glm requires gram_in_kernel=True")
     if gram_in_kernel:
         share_dsub = theta_sub is None
         m = n if share_dsub else theta_sub.shape[0]
-        checked = (("theta", theta), ("grads", grads)) + (
+        grads_checked = () if glm is not None else (("grads", grads),)
+        checked = (("theta", theta),) + grads_checked + (
             () if share_dsub else (("theta_sub", theta_sub),)
         )
+        if glm is not None:
+            A_eff, b_eff = glm
+            if A_eff.shape != (p, p):
+                raise ValueError(f"A_eff shape {A_eff.shape} != ({p},{p})")
+            checked = checked + (("A_eff", A_eff),)
     else:
         share_dsub = D_sub is D
         m = D_sub.shape[0]
@@ -249,22 +289,27 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gram_in_kernel:
         mat_args = () if share_dsub else (theta_sub,)
+        if glm is not None:
+            mat_args = (A_eff.astype(f32),
+                        b_eff.astype(f32).reshape(1, p)) + mat_args
     else:
         # When the subsample policy kept every row (n <= max_rows), the
         # caller passes D itself as D_sub — stage it into VMEM once.
         mat_args = (D,) if share_dsub else (D, D_sub)
-    n_vmem_in = len(mat_args) + 2 + len(array_leaves)
+    grads_args = () if glm is not None else (grads,)
+    n_vmem_in = len(mat_args) + 1 + len(grads_args) + len(array_leaves)
     in_specs = [smem] * (1 + len(scalar_leaves)) + [vmem] * n_vmem_in
+    n_stats = 4 if glm is not None else 3
     out_specs = ([vmem] * (1 + len(array_leaves))
                  + [smem] * (len(scalar_leaves) + 1))
     out_shape = (
         [jax.ShapeDtypeStruct((n, p), f32)]
         + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in array_leaves]
         + [jax.ShapeDtypeStruct((1,), l.dtype) for l in scalar_leaves]
-        + [jax.ShapeDtypeStruct((3,), f32)]
+        + [jax.ShapeDtypeStruct((n_stats,), f32)]
     )
     meta = (len(scalar_leaves), len(array_leaves), treedef, scalar_pos,
-            share_dsub, gram_in_kernel)
+            share_dsub, gram_in_kernel, glm is not None)
     kernel = functools.partial(
         _tail_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
         k=(total + 1) // 2, rounds=(warm_passes + 1) // 2,
@@ -275,7 +320,7 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
         out_shape=out_shape, interpret=interpret,
     )(jnp.asarray(med_prev).astype(f32).reshape(1),
       *[l.reshape(1) for l in scalar_leaves],
-      *mat_args, theta, grads, *array_leaves)
+      *mat_args, theta, *grads_args, *array_leaves)
 
     new_theta = outs[0]
     new_arrays = list(outs[1:1 + len(array_leaves)])
@@ -290,4 +335,7 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     for is_scalar in scalar_pos:
         new_leaves.append(next(si) if is_scalar else next(ai))
     new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    if glm is not None:
+        return new_theta, new_opt, (stats[0], stats[1], stats[2],
+                                    stats[3])
     return new_theta, new_opt, (stats[0], stats[1], stats[2])

@@ -209,3 +209,14 @@ def test_logistic_regression_with_mat_file(capsys, monkeypatch, tmp_path):
          "--data", path], capsys, monkeypatch)
     final = _floats(_line(out, "Final accuracy:"))[0]
     assert final >= 0.70, out
+
+
+def test_linear_regression_sufficient_stats_converges(capsys, monkeypatch):
+    """--sufficient-stats (precomputed X^T X / X^T y, exact algebra)
+    converges to the same coefficients as the full-X run."""
+    out = _run("examples/linear_regression.py",
+               ["--n-iters", "400", "--sufficient-stats"],
+               capsys, monkeypatch)
+    est = _floats(_line(out, "Est. coefficients"))
+    post = _floats(_line(out, "Conjugate posterior mean"))
+    np.testing.assert_allclose(est, post, atol=0.15)

@@ -177,3 +177,66 @@ def test_nn_golden_trajectory_vs_oracle():
             sampler.samples, oracle.samples, rtol=1e-7, atol=1e-11,
             err_msg=f"step {t}",
         )
+
+
+def test_model_precision_option():
+    """precision='default'/'high'/'highest' resolve to lax.Precision and
+    give identical log_p on CPU (precision only matters on TPU MXUs)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from stein_tpu.models import LinearRegressionModel
+
+    batch = {"X": jnp.asarray(np.ones((6, 4))),
+             "y": jnp.asarray(np.ones((6, 1)))}
+    vals = []
+    for prec in ("high", "default", "highest"):
+        m = LinearRegressionModel(4, precision=prec)
+        assert isinstance(m._prec, jax.lax.Precision)
+        vals.append(float(m.log_p(m.template(jnp.float64), batch)))
+    assert vals[0] == vals[1] == vals[2]
+    import pytest
+    with pytest.raises(KeyError):
+        LinearRegressionModel(4, precision="bf16")._prec
+
+
+def test_linreg_sufficient_stats_exact():
+    """The sufficient-statistics batch form is algebraically identical to
+    the full-X likelihood (same log_p up to fp reduction order, same
+    gradients) and the SVGD trajectory through it matches the full-X
+    trajectory in f64."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(3)
+    p = 5
+    X = rng.normal(size=(60, p))
+    y = X @ rng.normal(size=(p, 1)) + 0.1 * rng.normal(size=(60, 1))
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    suff = model.sufficient_batch(batch, dtype=jnp.float64)
+
+    params = {"w": jnp.asarray(rng.normal(size=(p, 1)))}
+    lp_full = float(model.log_p(params, batch))
+    lp_suff = float(model.log_p(params, suff))
+    np.testing.assert_allclose(lp_suff, lp_full, rtol=1e-12)
+    g_full = jax.grad(model.log_p)(params, batch)["w"]
+    g_suff = jax.grad(model.log_p)(params, suff)["w"]
+    np.testing.assert_allclose(np.asarray(g_suff), np.asarray(g_full),
+                               rtol=1e-10, atol=1e-12)
+
+    def run(b):
+        s = SVGDSampler(
+            n_particles=32, log_p=model.log_p,
+            param_template=model.template(jnp.float64),
+            gd=Adam(learning_rate=1e-1), key=jax.random.PRNGKey(0),
+            dtype=jnp.float64,
+        )
+        s.run(b, 50)
+        return s.samples
+
+    np.testing.assert_allclose(run(suff), run(batch), rtol=1e-8,
+                               atol=1e-10)

@@ -208,3 +208,46 @@ def test_fused_gram_mesh_guard():
             median="bisect", warm_median=True, step_impl="fused_gram",
             mesh=particle_mesh(jax.devices()[:2]),
         )
+
+
+def test_fused_glm_step_matches_xla_warm_trajectory():
+    """step_impl='fused_glm': the whole step (gradients from the
+    quadratic form, median, K, contractions, clip, Adam) in ONE kernel
+    must track the XLA warm path running log_p autodiff on the same
+    sufficient-statistics batch (identical math, different op order)."""
+    model, batch, theta0 = _problem()
+    suff = model.sufficient_batch(batch)
+    a = _make(model, theta0, Adam(learning_rate=1e-1), "xla")
+    b = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), gd=Adam(learning_rate=1e-1),
+        theta=theta0, median="bisect", warm_median=True, warm_passes=6,
+        step_impl="fused_glm", quadratic_form=model.quadratic_form,
+        pallas_interpret=True,
+    )
+    aux_a = a.run(suff, 15)
+    aux_b = b.run(suff, 15)
+    np.testing.assert_allclose(
+        np.asarray(aux_b["median"]), np.asarray(aux_a["median"]),
+        rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_b["log_p_mean"]), np.asarray(aux_a["log_p_mean"]),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(b.samples, a.samples, rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_fused_glm_guards():
+    model, batch, theta0 = _problem()
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), gd=Adam(), theta=theta0,
+        median="bisect", warm_median=True,
+    )
+    with pytest.raises(ValueError, match="quadratic_form"):
+        SVGDSampler(**common, step_impl="fused_glm")
+    with pytest.raises(ValueError, match="fused_glm"):
+        SVGDSampler(**common, step_impl="fused",
+                    quadratic_form=model.quadratic_form)

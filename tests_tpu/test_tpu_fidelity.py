@@ -507,3 +507,81 @@ def test_streaming_ksd_at_scale_on_chip():
     # U-statistics over sub-populations differ by O(1/sqrt(m))).
     sub = ksd_rbf(theta[::2], grads[::2], h2=h2)
     assert abs(val - float(sub)) < 0.5 * abs(val) + 1e-3
+
+
+def test_default_precision_posterior_statistics_on_chip():
+    """The throughput-first opt-in (model precision='default': 1-pass
+    bf16-input data matmuls — a ~6e-4 phi class, inside the production
+    kernels' accepted ~2e-3 class) must still SAMPLE correctly: same
+    conjugate-posterior check as the production-config test, with
+    default-precision gradients + the fused_gram tail."""
+    from stein_tpu import Adam, SVGDSampler, throughput_config
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(13)
+    n, p, n_obs = 512, 8, 256
+    X = rng.normal(size=(n_obs, p))
+    w_true = rng.normal(size=(p, 1))
+    y = X @ w_true + rng.normal(size=(n_obs, 1)) * 0.5
+
+    model = LinearRegressionModel(p, precision="default")
+    s = SVGDSampler(
+        n_particles=n, log_p=model.log_p, param_template=model.template(),
+        gd=Adam(learning_rate=5e-2), key=jax.random.PRNGKey(0),
+        **throughput_config(n, p),
+    )
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    s.run(batch, 1500)
+    samples = s.samples
+
+    A = X.T @ X + np.eye(p)
+    cov = np.linalg.inv(A)
+    mean = cov @ (X.T @ y)
+    mc = np.sqrt(np.diag(cov) / n)
+    err = np.abs(samples.mean(axis=0) - mean.ravel())
+    print(f"[fidelity] default-precision posterior: mean max err "
+          f"{err.max():.2e} (MC scale {mc.max():.2e})")
+    assert err.max() < 6 * mc.max(), (err.max(), mc.max())
+    ratio = samples.var(axis=0) / np.diag(cov)
+    assert np.all(ratio > 0.5) and np.all(ratio < 1.6), ratio
+
+
+def test_fused_glm_posterior_statistics_on_chip():
+    """The fully-fused GLM step (step_impl='fused_glm': gradients from
+    the quadratic form inside the kernel — the whole SVGD step is one
+    kernel) must sample the conjugate posterior correctly on the real
+    chip."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(17)
+    n, p, n_obs = 512, 8, 256
+    X = rng.normal(size=(n_obs, p))
+    w_true = rng.normal(size=(p, 1))
+    y = X @ w_true + rng.normal(size=(n_obs, 1)) * 0.5
+
+    model = LinearRegressionModel(p)
+    batch = model.sufficient_batch(
+        {"X": jnp.asarray(X, jnp.float32),
+         "y": jnp.asarray(y, jnp.float32)}
+    )
+    s = SVGDSampler(
+        n_particles=n, log_p=model.log_p, param_template=model.template(),
+        gd=Adam(learning_rate=5e-2), key=jax.random.PRNGKey(0),
+        median="bisect", warm_median=True, step_impl="fused_glm",
+        quadratic_form=model.quadratic_form, median_impl="fused",
+    )
+    s.run(batch, 1500)
+    samples = s.samples
+
+    A = X.T @ X + np.eye(p)
+    cov = np.linalg.inv(A)
+    mean = cov @ (X.T @ y)
+    mc = np.sqrt(np.diag(cov) / n)
+    err = np.abs(samples.mean(axis=0) - mean.ravel())
+    print(f"[fidelity] fused_glm posterior: mean max err {err.max():.2e} "
+          f"(MC scale {mc.max():.2e})")
+    assert err.max() < 6 * mc.max(), (err.max(), mc.max())
+    ratio = samples.var(axis=0) / np.diag(cov)
+    assert np.all(ratio > 0.5) and np.all(ratio < 1.6), ratio
