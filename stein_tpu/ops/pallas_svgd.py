@@ -10,7 +10,8 @@ of matmul — bandwidth-bound by 10x.
 This kernel streams [BI x BJ] tiles flash-attention-style: each tile
 computes the squared distances D = r_i + r_j - 2*theta_i@theta_j^T on the
 MXU, exponentiates in VMEM, and immediately contracts K_tile against the
-concatenated [grads | theta] block (one [BI,BJ]x[BJ,2p] MXU pass) while
+regrouped operand u = grads - theta/h^2 (one [BI,BJ]x[BJ,p] MXU pass —
+see _svgd_tile_kernel; r3 halved the historic [BJ,2p] contraction) while
 accumulating the kernel row-sums — K never touches HBM. HBM traffic drops
 to O(n*p) per tile-row instead of O(n^2).
 
@@ -32,29 +33,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
-                      gt_j_ref, both_ref, ksum_ref, *, mxu_dtype):
-    """One (i, j) tile: D -> K -> [K@[G|T], row-sums], accumulated over j.
+                      tu_j_ref, ku_ref, ksum_ref, *, mxu_dtype):
+    """One (i, j) tile: D -> K -> [K@u, row-sums], accumulated over j.
 
-    mxu_dtype was meant to control matmul input precision (bfloat16 for
-    ~3x MXU rate), but on the deployed toolchain Mosaic FOLDS the casts
-    away: precision='bf16' measured BITWISE-identical output to 'f32'
-    (2026-08-17), so the option is a no-op here; kept for toolchains
-    that honour operand dtypes. The r1 "bf16 slower by 11%" reading was
-    tunnel noise between identical programs."""
+    ``tu_j = [theta_j | u_j]`` with u = grads - theta / h^2: since the
+    bandwidth is known BEFORE the tile runs, the SVGD direction
+    phi_i = (sum_j K_ij g_j + sum_j K_ij (theta_i - theta_j)/h^2)/n
+    regroups to (sum_j K_ij u_j + ksum_i theta_i / h^2)/n — ONE
+    [B,B]x[B,p] contraction instead of the historic [B,B]x[B,2p]
+    K@[G|T], HALVING the tile's dominant MXU work (the contraction was
+    ~50% of tile time — RESULTS.md attribution; measured r3: 0.456 ->
+    0.316 ms at n=10240/p=128). Same tolerance class (different matmul
+    grouping of the same sum).
+
+    mxu_dtype is a measured NO-OP on the deployed toolchain (Mosaic
+    truncates dot inputs to bf16-class regardless — RESULTS.md r3);
+    kept for toolchains that honour operand dtypes."""
     j = pl.program_id(1)
     n_valid = n_ref[0]
-    bj = gt_j_ref.shape[0]
+    bj = tu_j_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
-        both_ref[:] = jnp.zeros_like(both_ref)
+        ku_ref[:] = jnp.zeros_like(ku_ref)
         ksum_ref[:] = jnp.zeros_like(ksum_ref)
 
     theta_i = theta_i_ref[:]                      # [BI, p]
     # Distance tile: r_i + r_j^T - 2 theta_i theta_j^T
-    # (reference abstract_kernel.py:33-35). gt_j = [grads_j | theta_j].
+    # (reference abstract_kernel.py:33-35).
     p = theta_i.shape[1]
-    theta_j = gt_j_ref[:, p:]                     # [BJ, p]
+    theta_j = tu_j_ref[:, :p]                     # [BJ, p]
     D = (
         rsq_i_ref[:]                              # [BI, 1]
         + rsq_j_ref[:].reshape(1, bj)             # [1, BJ]
@@ -73,9 +81,9 @@ def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
     col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
     K = jnp.where(col < n_valid, K, 0.0)
 
-    both_ref[:] += jnp.dot(K.astype(mxu_dtype),
-                           gt_j_ref[:].astype(mxu_dtype),
-                           preferred_element_type=jnp.float32)
+    ku_ref[:] += jnp.dot(K.astype(mxu_dtype),
+                         tu_j_ref[:, p:].astype(mxu_dtype),
+                         preferred_element_type=jnp.float32)
     ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
 
 
@@ -93,12 +101,14 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
                           block_i=512, block_j=512, interpret=False,
                           precision="f32"):
     """Raw streaming-tile accumulators for an [m, p] row block against
-    [n, p] column particles/gradients: ``both = K @ [grads | theta_cols]``
-    ([m, 2p]) and ``ksum`` ([m, 1]) — the pallas_call portion of
-    ``pallas_svgd_phi_rect`` without the final phi combine, so callers
-    that accumulate tiles across several column blocks (the ring sharded
-    step, parallel/sharded.py comm='ring') can sum partial (both, ksum)
-    pairs before combining once."""
+    [n, p] column particles/gradients: ``ku = K @ (grads - theta/h^2)``
+    ([m, p] — the regrouped single contraction, see _svgd_tile_kernel)
+    and ``ksum`` ([m, 1]) — the pallas_call portion of
+    ``pallas_svgd_phi_rect`` without the final phi combine
+    (phi = (ku + ksum * theta_rows / h^2) / n_total), so callers that
+    accumulate tiles across several column blocks (the ring sharded
+    step, parallel/sharded.py comm='ring') can sum partial (ku, ksum)
+    pairs before combining once (h^2 is fixed across blocks)."""
     m, p = theta_rows.shape
     n = theta_cols.shape[0]
     f32 = jnp.float32
@@ -107,19 +117,21 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
     m_pad = -(-m // bi) * bi
     n_pad = -(-n // bj) * bj
 
+    h2f = jnp.asarray(h2, f32)
     rows_p = _pad_rows(theta_rows.astype(f32), m_pad - m)
     cols_p = _pad_rows(theta_cols.astype(f32), n_pad - n)
     grads_p = _pad_rows(grads_cols.astype(f32), n_pad - n)
-    gt = jnp.concatenate([grads_p, cols_p], axis=1)        # [n_pad, 2p]
+    u = grads_p - cols_p / h2f
+    tu = jnp.concatenate([cols_p, u], axis=1)              # [n_pad, 2p]
     rsq_i = jnp.sum(rows_p * rows_p, axis=1, keepdims=True)  # [m_pad, 1]
     rsq_j = jnp.sum(cols_p * cols_p, axis=1, keepdims=True)  # [n_pad, 1]
 
     grid = (m_pad // bi, n_pad // bj)
-    h2_arr = jnp.asarray(h2, f32).reshape(1)
+    h2_arr = h2f.reshape(1)
     n_arr = jnp.asarray(n, jnp.int32).reshape(1)
 
     mxu_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    both, ksum = pl.pallas_call(
+    ku, ksum = pl.pallas_call(
         functools.partial(_svgd_tile_kernel, mxu_dtype=mxu_dtype),
         grid=grid,
         in_specs=[
@@ -128,26 +140,26 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
             pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),        # rsq_i
             pl.BlockSpec((bi, p), lambda i, j: (i, 0)),        # theta_i
             pl.BlockSpec((bj, 1), lambda i, j: (j, 0)),        # rsq_j
-            pl.BlockSpec((bj, 2 * p), lambda i, j: (j, 0)),    # gt_j
+            pl.BlockSpec((bj, 2 * p), lambda i, j: (j, 0)),    # tu_j
         ],
         out_specs=[
-            pl.BlockSpec((bi, 2 * p), lambda i, j: (i, 0)),    # both
+            pl.BlockSpec((bi, p), lambda i, j: (i, 0)),        # ku
             pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),        # ksum
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m_pad, 2 * p), f32),
+            jax.ShapeDtypeStruct((m_pad, p), f32),
             jax.ShapeDtypeStruct((m_pad, 1), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * 3 * p,
+            flops=2 * m_pad * n_pad * 2 * p,
             bytes_accessed=4 * (m_pad * p + n_pad * p * 2
                                 + m_pad * n_pad // 64),
             transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(h2_arr, n_arr, rsq_i, rows_p, rsq_j, gt)
+    )(h2_arr, n_arr, rsq_i, rows_p, rsq_j, tu)
 
-    return both[:m], ksum[:m]
+    return ku[:m], ksum[:m]
 
 
 @functools.partial(
@@ -169,22 +181,17 @@ def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
     single chip. ``n_total`` is the global particle count dividing phi
     (reference abstract_stein_sampler.py:105); it defaults to n.
     """
-    p = theta_rows.shape[1]
     n = theta_cols.shape[0]
     if n_total is None:
         n_total = n
     dtype = theta_rows.dtype
     f32 = jnp.float32
-    both, ksum = pallas_svgd_both_ksum(
+    ku, ksum = pallas_svgd_both_ksum(
         theta_rows, theta_cols, grads_cols, h2, block_i=block_i,
         block_j=block_j, interpret=interpret, precision=precision,
     )
-    attract = both[:, :p]
-    ktheta = both[:, p:]
     h2f = jnp.asarray(h2, f32)
-    phi = (
-        attract + (ksum * theta_rows.astype(f32) - ktheta) / h2f
-    ) / n_total
+    phi = (ku + ksum * theta_rows.astype(f32) / h2f) / n_total
     return phi.astype(dtype)
 
 
@@ -214,16 +221,18 @@ def _svgd_on_d_tile_kernel(h2_ref, n_ref, d_ref, gt_j_ref, both_ref,
 @functools.partial(
     jax.jit, static_argnames=("block_i", "block_j", "interpret"),
 )
-def pallas_svgd_both_ksum_on_D(D_rows, gt_cols, h2, block_i=512,
+def pallas_svgd_both_ksum_on_D(D_rows, u_cols, h2, block_i=512,
                                block_j=512, interpret=False):
-    """Streaming (both, ksum) accumulators from an already-materialised
+    """Streaming (ku, ksum) accumulators from an already-materialised
     [m, n] distance-row block — the 2-D (particles x model) mesh path,
     where D_rows exists by construction (psum'd partial Grams,
     parallel/sharded2d._d_rows_2d) and the win is keeping the [m, n] K
-    out of HBM while contracting against the p-sharded [n, 2*p_loc]
-    ``gt_cols``. f32 compute (inputs cast in, outputs f32)."""
+    out of HBM. ``u_cols`` is the p-sharded [n, p_loc] regrouped
+    operand u = grads - theta/h^2 (see _svgd_tile_kernel: phi =
+    (K@u + ksum*theta/h^2)/n — one contraction instead of two).
+    f32 compute (inputs cast in, outputs f32)."""
     m, n = D_rows.shape
-    two_p = gt_cols.shape[1]
+    two_p = u_cols.shape[1]
     f32 = jnp.float32
     bi = min(block_i, max(8, m))
     bj = min(block_j, max(8, n))
@@ -232,7 +241,7 @@ def pallas_svgd_both_ksum_on_D(D_rows, gt_cols, h2, block_i=512,
 
     D_p = jnp.pad(D_rows.astype(f32),
                   ((0, m_pad - m), (0, n_pad - n)))
-    gt_p = _pad_rows(gt_cols.astype(f32), n_pad - n)
+    gt_p = _pad_rows(u_cols.astype(f32), n_pad - n)
 
     grid = (m_pad // bi, n_pad // bj)
     both, ksum = pl.pallas_call(

@@ -183,9 +183,11 @@ def _ring_kernel_pass_pallas(theta_loc, grads_loc, h2, axis, pallas_block,
     per-rotation distance/kernel tiles never touch HBM, and peak
     per-device footprint stays O(n_loc x p) (no gathered global block).
 
-    Returns (attract, ktheta, ksum) for the local rows, accumulated over
-    all rotations (tolerance-equal to the all-gather Pallas path: same
-    tile arithmetic, different column-block accumulation order)."""
+    Returns (ku, ksum) for the local rows (ku = K @ (grads - theta/h^2),
+    the regrouped single contraction — phi = (ku + ksum*theta/h^2)/n),
+    accumulated over all rotations (tolerance-equal to the all-gather
+    Pallas path: same tile arithmetic, different column-block
+    accumulation order)."""
     from ..ops.pallas_svgd import pallas_svgd_both_ksum
 
     n_dev = jax.lax.axis_size(axis)
@@ -193,24 +195,23 @@ def _ring_kernel_pass_pallas(theta_loc, grads_loc, h2, axis, pallas_block,
     gt_loc = jnp.concatenate([grads_loc, theta_loc], axis=1)
 
     def body(i, carry):
-        acc_both, acc_ksum, block_gt = carry
-        t_both, t_ksum = pallas_svgd_both_ksum(
+        acc_ku, acc_ksum, block_gt = carry
+        t_ku, t_ksum = pallas_svgd_both_ksum(
             theta_loc, block_gt[:, p:], block_gt[:, :p], h2,
             block_i=pallas_block, block_j=pallas_block,
             interpret=pallas_interpret, precision=pallas_precision,
         )
         perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
         block_gt = jax.lax.ppermute(block_gt, axis, perm)
-        return acc_both + t_both, acc_ksum + t_ksum, block_gt
+        return acc_ku + t_ku, acc_ksum + t_ksum, block_gt
 
-    acc_both = jnp.zeros((n_loc, 2 * p), jnp.float32)
+    acc_ku = jnp.zeros((n_loc, p), jnp.float32)
     acc_ksum = jnp.zeros((n_loc, 1), jnp.float32)
-    acc_both, acc_ksum, _ = jax.lax.fori_loop(
-        0, n_dev, body, (acc_both, acc_ksum, gt_loc)
+    acc_ku, acc_ksum, _ = jax.lax.fori_loop(
+        0, n_dev, body, (acc_ku, acc_ksum, gt_loc)
     )
     dt = theta_loc.dtype
-    return (acc_both[:, :p].astype(dt), acc_both[:, p:].astype(dt),
-            acc_ksum.astype(dt))
+    return acc_ku.astype(dt), acc_ksum.astype(dt)
 
 
 def _rbf_phi_rows_xla(theta_loc, theta_all, grads_all, D_rows, h2,
@@ -370,13 +371,11 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 med.astype(theta_loc.dtype), n_particles
             )
             if kernel_impl == "pallas":
-                attract, ktheta, ksum = _ring_kernel_pass_pallas(
+                ku, ksum = _ring_kernel_pass_pallas(
                     theta_loc, grads_loc, h2, axis, pallas_block,
                     pallas_interpret, pallas_precision,
                 )
-                phi = (
-                    attract + (ksum * theta_loc - ktheta) / h2
-                ) / n_particles
+                phi = (ku + ksum * theta_loc / h2) / n_particles
             elif kernel is None:
                 attract, ktheta, ksum = _ring_kernel_pass(
                     theta_loc, grads_loc, rsq_loc, h2, axis
@@ -562,16 +561,19 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             med.astype(theta_loc.dtype), n_particles
         )
         if kernel_impl == "pallas":
-            attract, ktheta, ksum = _ring_kernel_pass_pallas(
+            ku, ksum = _ring_kernel_pass_pallas(
                 theta_loc, grads_loc, h2, axis, pallas_block,
                 pallas_interpret, pallas_precision,
             )
+            phi = (ku + ksum * theta_loc / h2) / n_particles
         else:
             rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
             attract, ktheta, ksum = _ring_kernel_pass(
                 theta_loc, grads_loc, rsq_loc, h2, axis
             )
-        phi = (attract + (ksum * theta_loc - ktheta) / h2) / n_particles
+            phi = (
+                attract + (ksum * theta_loc - ktheta) / h2
+            ) / n_particles
         new_state, aux = _clip_update_aux(
             state, phi, log_p_vals, h2, med, gd, max_phi_norm, axis
         )

@@ -224,17 +224,16 @@ def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
 
     if kernel is None and kernel_impl == "pallas":
         # Stream exp2 + contraction + row-sums over the materialised D
-        # rows — K never touches HBM (ops/pallas_svgd, on-D variant).
+        # rows — K never touches HBM (ops/pallas_svgd, on-D variant);
+        # one regrouped K @ (grads - theta/h^2) contraction.
         from ..ops.pallas_svgd import pallas_svgd_both_ksum_on_D
-        both, ksum = pallas_svgd_both_ksum_on_D(
-            D_rows, jnp.concatenate([grads_cols, theta_cols], axis=1),
+        ku, ksum = pallas_svgd_both_ksum_on_D(
+            D_rows, grads_cols - theta_cols / h2,
             h2, block_i=pallas_block, block_j=pallas_block,
             interpret=pallas_interpret,
         )
         dt = theta_blk.dtype
-        attract = both[:, :p_loc].astype(dt)
-        ktheta = both[:, p_loc:].astype(dt)
-        phi = (attract + (ksum.astype(dt) * theta_blk - ktheta) / h2
+        phi = (ku.astype(dt) + ksum.astype(dt) * theta_blk / h2
                ) / n_particles
     elif kernel is None:
         K_rows = jnp.exp(-D_rows / h2 / 2.0)      # [n_loc, n] (replicated
