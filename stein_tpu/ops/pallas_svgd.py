@@ -33,10 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
-                      tu_j_ref, ku_ref, ksum_ref, *, mxu_dtype):
+                      theta_j_ref, u_j_ref, ku_ref, ksum_ref, *,
+                      mxu_dtype):
     """One (i, j) tile: D -> K -> [K@u, row-sums], accumulated over j.
 
-    ``tu_j = [theta_j | u_j]`` with u = grads - theta / h^2: since the
+    ``u = grads - theta / h^2`` rides in as a SEPARATE input block from
+    theta_j (a same-session A/B measured the split form ~6% faster than
+    a concatenated [n, 2p] operand and bitwise-identical —
+    benchmarks/tile_form_ab.py): since the
     bandwidth is known BEFORE the tile runs, the SVGD direction
     phi_i = (sum_j K_ij g_j + sum_j K_ij (theta_i - theta_j)/h^2)/n
     regroups to (sum_j K_ij u_j + ksum_i theta_i / h^2)/n — ONE
@@ -51,7 +55,7 @@ def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
     kept for toolchains that honour operand dtypes."""
     j = pl.program_id(1)
     n_valid = n_ref[0]
-    bj = tu_j_ref.shape[0]
+    bj = theta_j_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -61,8 +65,7 @@ def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
     theta_i = theta_i_ref[:]                      # [BI, p]
     # Distance tile: r_i + r_j^T - 2 theta_i theta_j^T
     # (reference abstract_kernel.py:33-35).
-    p = theta_i.shape[1]
-    theta_j = tu_j_ref[:, :p]                     # [BJ, p]
+    theta_j = theta_j_ref[:]                      # [BJ, p]
     D = (
         rsq_i_ref[:]                              # [BI, 1]
         + rsq_j_ref[:].reshape(1, bj)             # [1, BJ]
@@ -82,7 +85,7 @@ def _svgd_tile_kernel(h2_ref, n_ref, rsq_i_ref, theta_i_ref, rsq_j_ref,
     K = jnp.where(col < n_valid, K, 0.0)
 
     ku_ref[:] += jnp.dot(K.astype(mxu_dtype),
-                         tu_j_ref[:, p:].astype(mxu_dtype),
+                         u_j_ref[:].astype(mxu_dtype),
                          preferred_element_type=jnp.float32)
     ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
 
@@ -122,7 +125,6 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
     cols_p = _pad_rows(theta_cols.astype(f32), n_pad - n)
     grads_p = _pad_rows(grads_cols.astype(f32), n_pad - n)
     u = grads_p - cols_p / h2f
-    tu = jnp.concatenate([cols_p, u], axis=1)              # [n_pad, 2p]
     rsq_i = jnp.sum(rows_p * rows_p, axis=1, keepdims=True)  # [m_pad, 1]
     rsq_j = jnp.sum(cols_p * cols_p, axis=1, keepdims=True)  # [n_pad, 1]
 
@@ -140,7 +142,8 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
             pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),        # rsq_i
             pl.BlockSpec((bi, p), lambda i, j: (i, 0)),        # theta_i
             pl.BlockSpec((bj, 1), lambda i, j: (j, 0)),        # rsq_j
-            pl.BlockSpec((bj, 2 * p), lambda i, j: (j, 0)),    # tu_j
+            pl.BlockSpec((bj, p), lambda i, j: (j, 0)),        # theta_j
+            pl.BlockSpec((bj, p), lambda i, j: (j, 0)),        # u_j
         ],
         out_specs=[
             pl.BlockSpec((bi, p), lambda i, j: (i, 0)),        # ku
@@ -157,7 +160,7 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
             transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(h2_arr, n_arr, rsq_i, rows_p, rsq_j, tu)
+    )(h2_arr, n_arr, rsq_i, rows_p, rsq_j, cols_p, u)
 
     return ku[:m], ksum[:m]
 
