@@ -54,10 +54,17 @@ def bench_numpy(X, y, theta0):
 
     oracle = NumpySVGD(grad_log_p, theta0, NumpyAdam(learning_rate=1e-1))
     oracle.train_on_batch(None)  # warm caches
-    t0 = time.perf_counter()
-    for _ in range(NP_STEPS):
-        oracle.train_on_batch(None)
-    return (time.perf_counter() - t0) / NP_STEPS
+    # Best of 3 windows: host BLAS threading makes single oracle
+    # readings drift several-fold between runs (observed 0.1-0.4 s/step
+    # for identical work); the fastest honest window is the most
+    # conservative baseline for the reported speedup.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(NP_STEPS):
+            oracle.train_on_batch(None)
+        best = min(best, (time.perf_counter() - t0) / NP_STEPS)
+    return best
 
 
 def slope_time(sampler, batch, K=200, R=4, reps=3):

@@ -210,17 +210,22 @@ def test_fused_gram_mesh_guard():
         )
 
 
-def test_fused_glm_step_matches_xla_warm_trajectory():
+@pytest.mark.parametrize("gd_factory", [
+    lambda: Adam(learning_rate=1e-1, decay=0.999),
+    lambda: Adagrad(learning_rate=5e-2),
+])
+def test_fused_glm_step_matches_xla_warm_trajectory(gd_factory):
     """step_impl='fused_glm': the whole step (gradients from the
-    quadratic form, median, K, contractions, clip, Adam) in ONE kernel
-    must track the XLA warm path running log_p autodiff on the same
-    sufficient-statistics batch (identical math, different op order)."""
+    quadratic form, median, K, contractions, clip, optimizer) in ONE
+    kernel must track the XLA warm path running log_p autodiff on the
+    same sufficient-statistics batch (identical math, different op
+    order) — for both step rules."""
     model, batch, theta0 = _problem()
     suff = model.sufficient_batch(batch)
-    a = _make(model, theta0, Adam(learning_rate=1e-1), "xla")
+    a = _make(model, theta0, gd_factory(), "xla")
     b = SVGDSampler(
         n_particles=theta0.shape[0], log_p=model.log_p,
-        param_template=model.template(), gd=Adam(learning_rate=1e-1),
+        param_template=model.template(), gd=gd_factory(),
         theta=theta0, median="bisect", warm_median=True, warm_passes=6,
         step_impl="fused_glm", quadratic_form=model.quadratic_form,
         pallas_interpret=True,
