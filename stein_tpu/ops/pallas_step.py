@@ -138,10 +138,14 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
         # numerics class as the large-n streaming tile's in-kernel D
         # (ops/pallas_svgd.py), pinned by the statistical posterior
         # tests — it removes the XLA Gram stage AND D's HBM round-trip.
+        # MEAN-CENTERED (D is translation-invariant, the bf16-class
+        # error is not: it scales with ||theta||^2 — off-origin clouds
+        # degraded to NaN uncentered; benchmarks/centering_probe.py).
         n = theta.shape[0]
-        rsq = jnp.sum(theta * theta, axis=1, keepdims=True)
+        tc = theta - jnp.sum(theta, axis=0, keepdims=True) / n
+        rsq = jnp.sum(tc * tc, axis=1, keepdims=True)
         D = (rsq + rsq.reshape(1, n)
-             - 2.0 * jnp.dot(theta, theta.T,
+             - 2.0 * jnp.dot(tc, tc.T,
                              preferred_element_type=f32))
         if share_dsub:
             Dsub = D
@@ -149,12 +153,14 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
             # The strided-row median block, from the (XLA-gathered)
             # subsample rows — a second small dot instead of a strided
             # in-kernel load.
-            tsub = theta_sub_ref[:]
-            rsq_sub = jnp.sum(tsub * tsub, axis=1, keepdims=True)
+            tsub_c = theta_sub_ref[:] - jnp.sum(
+                theta, axis=0, keepdims=True) / n
+            rsq_sub = jnp.sum(tsub_c * tsub_c, axis=1, keepdims=True)
             Dsub = (rsq_sub + rsq.reshape(1, n)
-                    - 2.0 * jnp.dot(tsub, theta.T,
+                    - 2.0 * jnp.dot(tsub_c, tc.T,
                                     preferred_element_type=f32))
     else:
+        tc = theta
         D = D_ref[:]
         Dsub = Dsub_ref[:]
 
@@ -165,12 +171,14 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
 
     K = jnp.exp2(D * (_LOG2E_HALF / h2))
     # Regrouped single contraction (same sum, different grouping — see
-    # ops/pallas_svgd._svgd_tile_kernel): K @ (grads - theta/h^2)
+    # ops/pallas_svgd._svgd_tile_kernel): K @ (grads - theta_c/h^2)
     # replaces the two dots K@grads and K@theta, halving the tail's
-    # contraction MXU work.
-    ku = jnp.dot(K, grads - theta / h2, preferred_element_type=f32)
+    # contraction MXU work. phi is exactly translation-invariant, so
+    # the centered tc (= theta when the gram came from XLA) is valid in
+    # both the contraction and the ksum term.
+    ku = jnp.dot(K, grads - tc / h2, preferred_element_type=f32)
     ksum = jnp.sum(K, axis=1, keepdims=True)
-    phi = (ku + ksum * theta / h2) / n_particles
+    phi = (ku + ksum * tc / h2) / n_particles
 
     # Global norm clip (abstract_stein_sampler.py:125).
     norm = jnp.sqrt(jnp.sum(phi * phi))

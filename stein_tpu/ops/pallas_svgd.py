@@ -101,17 +101,28 @@ def _pad_rows(x, rows):
     static_argnames=("block_i", "block_j", "interpret", "precision"),
 )
 def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
-                          block_i=512, block_j=512, interpret=False,
-                          precision="f32"):
+                          center, block_i=512, block_j=512,
+                          interpret=False, precision="f32"):
     """Raw streaming-tile accumulators for an [m, p] row block against
-    [n, p] column particles/gradients: ``ku = K @ (grads - theta/h^2)``
+    [n, p] column particles/gradients: ``ku = K @ (grads - theta_c/h^2)``
     ([m, p] — the regrouped single contraction, see _svgd_tile_kernel)
     and ``ksum`` ([m, 1]) — the pallas_call portion of
     ``pallas_svgd_phi_rect`` without the final phi combine
-    (phi = (ku + ksum * theta_rows / h^2) / n_total), so callers that
-    accumulate tiles across several column blocks (the ring sharded
-    step, parallel/sharded.py comm='ring') can sum partial (ku, ksum)
-    pairs before combining once (h^2 is fixed across blocks)."""
+    (phi = (ku + ksum * (theta_rows - center) / h^2) / n_total), so
+    callers that accumulate tiles across several column blocks (the
+    ring sharded step, parallel/sharded.py comm='ring') can sum partial
+    (ku, ksum) pairs before combining once (h^2 and center are fixed
+    across blocks).
+
+    ``center`` ([1, p]) is subtracted from theta before the in-kernel
+    Gram: D is translation-invariant, but the bf16-class in-kernel dot's
+    error scales with ||theta||^2 — uncentered, phi degraded to 33% rel
+    error at ||mean||/spread ~ 280 and NaN at ~2800 (measured,
+    benchmarks/centering_probe.py); centered at the particle mean the
+    error is flat ~3.5e-4 at EVERY shift. phi itself is exactly
+    translation-invariant (the repulsive term only sees differences),
+    so callers must use the SAME center in the combine; pass the global
+    particle mean (identical on every shard)."""
     m, p = theta_rows.shape
     n = theta_cols.shape[0]
     f32 = jnp.float32
@@ -121,8 +132,9 @@ def pallas_svgd_both_ksum(theta_rows, theta_cols, grads_cols, h2,
     n_pad = -(-n // bj) * bj
 
     h2f = jnp.asarray(h2, f32)
-    rows_p = _pad_rows(theta_rows.astype(f32), m_pad - m)
-    cols_p = _pad_rows(theta_cols.astype(f32), n_pad - n)
+    c = jnp.asarray(center, f32).reshape(1, p)
+    rows_p = _pad_rows(theta_rows.astype(f32) - c, m_pad - m)
+    cols_p = _pad_rows(theta_cols.astype(f32) - c, n_pad - n)
     grads_p = _pad_rows(grads_cols.astype(f32), n_pad - n)
     u = grads_p - cols_p / h2f
     rsq_i = jnp.sum(rows_p * rows_p, axis=1, keepdims=True)  # [m_pad, 1]
@@ -189,12 +201,16 @@ def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
         n_total = n
     dtype = theta_rows.dtype
     f32 = jnp.float32
+    # Mean-center before the in-kernel Gram (off-origin robustness —
+    # see pallas_svgd_both_ksum); computed from the columns so every
+    # shard of the all-gather sharded step derives the identical value.
+    center = jnp.mean(theta_cols.astype(f32), axis=0, keepdims=True)
     ku, ksum = pallas_svgd_both_ksum(
-        theta_rows, theta_cols, grads_cols, h2, block_i=block_i,
+        theta_rows, theta_cols, grads_cols, h2, center, block_i=block_i,
         block_j=block_j, interpret=interpret, precision=precision,
     )
     h2f = jnp.asarray(h2, f32)
-    phi = (ku + ksum * theta_rows.astype(f32) / h2f) / n_total
+    phi = (ku + ksum * (theta_rows.astype(f32) - center) / h2f) / n_total
     return phi.astype(dtype)
 
 

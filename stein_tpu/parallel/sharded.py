@@ -183,9 +183,10 @@ def _ring_kernel_pass_pallas(theta_loc, grads_loc, h2, axis, pallas_block,
     per-rotation distance/kernel tiles never touch HBM, and peak
     per-device footprint stays O(n_loc x p) (no gathered global block).
 
-    Returns (ku, ksum) for the local rows (ku = K @ (grads - theta/h^2),
-    the regrouped single contraction — phi = (ku + ksum*theta/h^2)/n),
-    accumulated over all rotations (tolerance-equal to the all-gather
+    Returns (ku, ksum, center) for the local rows (ku = K @ (grads -
+    (theta-center)/h^2), the regrouped, mean-centered single contraction
+    — phi = (ku + ksum*(theta-center)/h^2)/n), accumulated over all
+    rotations (tolerance-equal to the all-gather
     Pallas path: same tile arithmetic, different column-block
     accumulation order)."""
     from ..ops.pallas_svgd import pallas_svgd_both_ksum
@@ -193,11 +194,18 @@ def _ring_kernel_pass_pallas(theta_loc, grads_loc, h2, axis, pallas_block,
     n_dev = jax.lax.axis_size(axis)
     n_loc, p = theta_loc.shape
     gt_loc = jnp.concatenate([grads_loc, theta_loc], axis=1)
+    # Global particle mean (one tiny [p] psum): the in-kernel Gram is
+    # mean-centered for off-origin robustness (pallas_svgd_both_ksum),
+    # and the same center must anchor every rotation AND the combine.
+    center = jax.lax.psum(
+        jnp.sum(theta_loc.astype(jnp.float32), axis=0, keepdims=True),
+        axis,
+    ) / (n_loc * n_dev)
 
     def body(i, carry):
         acc_ku, acc_ksum, block_gt = carry
         t_ku, t_ksum = pallas_svgd_both_ksum(
-            theta_loc, block_gt[:, p:], block_gt[:, :p], h2,
+            theta_loc, block_gt[:, p:], block_gt[:, :p], h2, center,
             block_i=pallas_block, block_j=pallas_block,
             interpret=pallas_interpret, precision=pallas_precision,
         )
@@ -211,7 +219,8 @@ def _ring_kernel_pass_pallas(theta_loc, grads_loc, h2, axis, pallas_block,
         0, n_dev, body, (acc_ku, acc_ksum, gt_loc)
     )
     dt = theta_loc.dtype
-    return acc_ku.astype(dt), acc_ksum.astype(dt)
+    return (acc_ku.astype(dt), acc_ksum.astype(dt),
+            center.astype(dt))
 
 
 def _rbf_phi_rows_xla(theta_loc, theta_all, grads_all, D_rows, h2,
@@ -371,11 +380,11 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                 med.astype(theta_loc.dtype), n_particles
             )
             if kernel_impl == "pallas":
-                ku, ksum = _ring_kernel_pass_pallas(
+                ku, ksum, c = _ring_kernel_pass_pallas(
                     theta_loc, grads_loc, h2, axis, pallas_block,
                     pallas_interpret, pallas_precision,
                 )
-                phi = (ku + ksum * theta_loc / h2) / n_particles
+                phi = (ku + ksum * (theta_loc - c) / h2) / n_particles
             elif kernel is None:
                 attract, ktheta, ksum = _ring_kernel_pass(
                     theta_loc, grads_loc, rsq_loc, h2, axis
@@ -561,11 +570,11 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             med.astype(theta_loc.dtype), n_particles
         )
         if kernel_impl == "pallas":
-            ku, ksum = _ring_kernel_pass_pallas(
+            ku, ksum, c = _ring_kernel_pass_pallas(
                 theta_loc, grads_loc, h2, axis, pallas_block,
                 pallas_interpret, pallas_precision,
             )
-            phi = (ku + ksum * theta_loc / h2) / n_particles
+            phi = (ku + ksum * (theta_loc - c) / h2) / n_particles
         else:
             rsq_loc = jnp.sum(theta_loc * theta_loc, axis=1)
             attract, ktheta, ksum = _ring_kernel_pass(

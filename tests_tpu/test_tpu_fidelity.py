@@ -585,3 +585,57 @@ def test_fused_glm_posterior_statistics_on_chip():
     assert err.max() < 6 * mc.max(), (err.max(), mc.max())
     ratio = samples.var(axis=0) / np.diag(cov)
     assert np.all(ratio > 0.5) and np.all(ratio < 1.6), ratio
+
+
+def test_off_origin_robustness_on_chip():
+    """Off-origin clouds (||mean|| >> spread) — the r3 latent-bug probe:
+    the in-kernel bf16-class Gram's error scales with ||theta||^2, so
+    the UNCENTERED Pallas paths degraded to 33% phi error at
+    ||mean||/spread ~ 280 and NaN at ~2800 (benchmarks/
+    centering_probe.py). All Pallas-computed-D paths now mean-center
+    (exact algebra: D and phi are translation-invariant); this pins the
+    fix at every shift."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.ops.pallas_svgd import pallas_svgd_phi
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(21)
+    n, p = 1024, 128
+    spread = 0.05
+    base = rng.normal(size=(n, p)) * spread
+    grads = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+
+    for shift in (10.0, 100.0):
+        t64 = np.asarray(
+            jnp.asarray(base + shift / np.sqrt(p), jnp.float32),
+            np.float64,
+        )
+        D64 = (np.sum(t64 * t64, 1)[:, None]
+               + np.sum(t64 * t64, 1)[None, :] - 2.0 * t64 @ t64.T)
+        h2 = np.median(D64) / np.log(n)
+        K64 = np.exp(-D64 / h2 / 2.0)
+        g64 = np.asarray(grads, np.float64)
+        phi64 = (K64 @ g64
+                 + (K64.sum(1)[:, None] * t64 - K64 @ t64) / h2) / n
+        scale = np.abs(phi64).max()
+
+        got = np.asarray(pallas_svgd_phi(
+            jnp.asarray(t64, jnp.float32), grads, jnp.float32(h2),
+            block_i=512, block_j=512,
+        ))
+        rel = np.abs(got - phi64).max() / scale
+        print(f"[fidelity] off-origin tile shift={shift}: rel {rel:.2e}")
+        assert np.isfinite(rel) and rel < 5e-3, (shift, rel)
+
+    # The fused_gram sampler end-to-end at shift 100: finite, tracks the
+    # XLA warm path to the class tolerance over a few steps.
+    X, y, theta0 = _linreg_problem(seed=23, n_particles=384, n_feats=64)
+    theta0 = theta0 + 100.0 / np.sqrt(64)
+    kw = dict(median="bisect", warm_median=True, warm_passes=16,
+              median_passes=40)
+    a = _tpu_trajectory(X, y, theta0, 3, **kw)
+    b = _tpu_trajectory(X, y, theta0, 3, step_impl="fused_gram", **kw)
+    assert np.all(np.isfinite(b))
+    frac_bad = float(np.mean(~np.isclose(b, a, rtol=3e-3, atol=3e-3)))
+    print(f"[fidelity] off-origin fused_gram flip fraction {frac_bad:.5f}")
+    assert frac_bad < 0.01, frac_bad
