@@ -123,6 +123,35 @@ def main():
             100 * (tw_sharded - t_sharded) / t_sharded, 2),
     }))
 
+    # Ring layout at production parity (r3): warm bisect median (ring-
+    # assembled block) + per-rotation Pallas tiles. On a 1-device mesh
+    # the ring is degenerate (one rotation), so this measures the
+    # compiled ring machinery's overhead vs the warm all-gather path —
+    # the multi-device behaviour is the scaling model's domain.
+    ring_sampler, _ = make_sampler(
+        X, y, theta0, mesh=particle_mesh(jax.devices()[:1]),
+        comm="ring", warm_median=True, warm_passes=8, **opts)
+    ring_sampler.run(batch, 3)
+    # Fresh single-chip warm reference: warm_single's state was evolved
+    # by the slope timing above, so it cannot anchor this comparison.
+    warm_ref, _ = make_sampler(X, y, theta0, warm_median=True,
+                               warm_passes=8, **opts)
+    warm_ref.run(batch, 3)
+    rerr = float(
+        np.max(np.abs(ring_sampler.samples - warm_ref.samples))
+        / max(np.max(np.abs(warm_ref.samples)), 1e-30)
+    )
+    print(json.dumps({"bench": "ring_warm_correctness", "n": n,
+                      "max_rel_err_vs_single_warm": rerr}))
+    assert rerr < 2e-4, rerr
+    tr = slope_time(ring_sampler, batch, K=100, R=6, reps=4)
+    print(json.dumps({
+        "bench": "ring_warm_pallas_step", "n": n,
+        "ring_warm_1dev_ms": round(tr * 1e3, 4),
+        "vs_allgather_warm_pct": round(
+            100 * (tr - tw_sharded) / tw_sharded, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()

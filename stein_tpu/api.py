@@ -539,10 +539,19 @@ class SVGDSampler:
         "exact".
     pallas_precision : "f32" (default) | "bf16" — requested matmul input
         precision inside the Pallas tiles (accumulation always f32). On
-        the deployed toolchain this is a measured NO-OP: Mosaic folds
-        the bf16 casts away (bitwise-identical output and timing to
-        f32, probed 2026-08-17) — kept for toolchains that honour
-        operand dtypes.
+        the deployed toolchain this is a measured NO-OP in BOTH
+        directions: Mosaic folds in-kernel casts, ignores the dot
+        precision attribute, AND upconverts genuinely-bf16 operand
+        buffers — every combination is bitwise-identical at the same
+        rate, and the dot's effective input precision is bf16-class
+        regardless (benchmarks/RESULTS.md round 3). Kept for toolchains
+        that honour operand dtypes.
+    quadratic_form : required by (and only by) step_impl="fused_glm":
+        callable batch -> (A_eff [p, p], b_eff [p], const) with
+        log_p(w) = -0.5 w^T A_eff w + b_eff^T w + const — e.g.
+        models.LinearRegressionModel.quadratic_form. The kernel
+        computes per-particle gradients b_eff - A_eff w and log_p
+        values from it.
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh
