@@ -209,11 +209,16 @@ def test_recovery_divergence_detection(tmp_path):
     assert np.isfinite(b.samples).all()
 
 
-def test_save_restore_fused_step_sampler(tmp_path):
-    """Checkpoint/resume with step_impl='fused' (the bench n=1k config):
-    the fused tail carries the identical SVGDState pytree, so a restored
-    sampler must continue bit-identically through chunked run() calls
-    (each of which re-seeds the warm carry from the restored particles)."""
+import pytest
+
+
+@pytest.mark.parametrize("step_impl", ["fused", "fused_gram", "fused_glm"])
+def test_save_restore_fused_step_sampler(tmp_path, step_impl):
+    """Checkpoint/resume with the fused step tails (incl. the r3
+    fused_gram / fused_glm variants — same SVGDState pytree), so a
+    restored sampler must continue bit-identically through chunked
+    run() calls (each of which re-seeds the warm carry from the
+    restored particles)."""
     rng = np.random.default_rng(2)
     n, p = 48, 4
     X = rng.normal(size=(30, p))
@@ -221,18 +226,24 @@ def test_save_restore_fused_step_sampler(tmp_path):
     model = LinearRegressionModel(p)
     batch = {"X": jnp.asarray(X, jnp.float32),
              "y": jnp.asarray(y, jnp.float32)}
+    if step_impl == "fused_glm":
+        batch = model.sufficient_batch(batch)
     theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.01, jnp.float32)
 
     def make():
+        kw = {}
+        if step_impl == "fused_glm":
+            kw["quadratic_form"] = model.quadratic_form
         return SVGDSampler(
             n_particles=n, log_p=model.log_p,
             param_template=model.template(), gd=Adam(learning_rate=1e-1,
                                                      decay=0.99),
             theta=theta0, median="bisect", warm_median=True,
-            warm_passes=6, step_impl="fused", pallas_interpret=True,
+            warm_passes=6, step_impl=step_impl, pallas_interpret=True,
+            **kw,
         )
 
-    ckpt = str(tmp_path / "fused.npz")
+    ckpt = str(tmp_path / f"{step_impl}.npz")
     a = make()
     a.run(batch, 5)
     a.save(ckpt)
