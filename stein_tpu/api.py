@@ -201,25 +201,13 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
 
 
-def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
-                     median_passes=30, warm_passes=8, pallas_block=512,
-                     pallas_interpret=False, pallas_precision="f32",
-                     median_impl="xla"):
-    """phi_fn variant threading the previous step's median through the
-    scan: phi_fn(theta, grads, med_prev) -> (phi, aux); aux['median'] is
-    the hint for the next step (ops/median.warm_bisect_median, branchless).
-    The returned function carries ``init_med(theta)`` — a full cold bisect
-    used to seed the scan carry, so the in-scan warm search never runs
-    from a cold (full-range) interval.
-
-    ``median_impl="fused"`` runs the whole warm search in ONE Pallas
-    kernel on the VMEM-resident distance block instead of 1 + rounds
-    sequential XLA count kernels (bitwise the same result —
-    ops/pallas_median.fused_warm_median_rows); the sequential kernels
-    measure ~40% of the n=1000 step (benchmarks/step_breakdown.py).
-    Blocks outside the fused kernel's envelope (quad-ary regime + VMEM,
-    ops/pallas_median.fused_block_ok) fall back to the bitwise-equal XLA
-    search; the cold scan seed (init_med) takes the same fused path."""
+def _make_warm_median_fns(median_max_rows=512, median_passes=30,
+                          warm_passes=8, pallas_interpret=False,
+                          median_impl="xla"):
+    """The scan-carried warm-median machinery shared by make_warm_phi_fn
+    and the epilogue step builder: returns
+    (compute_med(theta, med_prev), init_med(theta),
+    warm_med_on_block(D_sub, med_prev))."""
     from .ops.median import _warm_search, row_subsample_block
 
     if median_impl not in ("xla", "fused"):
@@ -261,6 +249,34 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
         return bisect_median(
             theta, max_rows=median_max_rows, passes=median_passes
         )
+
+    return compute_med, init_med, warm_med_on_block
+
+
+def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
+                     median_passes=30, warm_passes=8, pallas_block=512,
+                     pallas_interpret=False, pallas_precision="f32",
+                     median_impl="xla"):
+    """phi_fn variant threading the previous step's median through the
+    scan: phi_fn(theta, grads, med_prev) -> (phi, aux); aux['median'] is
+    the hint for the next step (ops/median.warm_bisect_median, branchless).
+    The returned function carries ``init_med(theta)`` — a full cold bisect
+    used to seed the scan carry, so the in-scan warm search never runs
+    from a cold (full-range) interval.
+
+    ``median_impl="fused"`` runs the whole warm search in ONE Pallas
+    kernel on the VMEM-resident distance block instead of 1 + rounds
+    sequential XLA count kernels (bitwise the same result —
+    ops/pallas_median.fused_warm_median_rows); the sequential kernels
+    measure ~40% of the n=1000 step (benchmarks/step_breakdown.py).
+    Blocks outside the fused kernel's envelope (quad-ary regime + VMEM,
+    ops/pallas_median.fused_block_ok) fall back to the bitwise-equal XLA
+    search; the cold scan seed (init_med) takes the same fused path."""
+    compute_med, init_med, warm_med_on_block = _make_warm_median_fns(
+        median_max_rows=median_max_rows, median_passes=median_passes,
+        warm_passes=warm_passes, pallas_interpret=pallas_interpret,
+        median_impl=median_impl,
+    )
 
     if kernel_impl == "pallas":
         from .ops.pallas_svgd import pallas_svgd_phi
@@ -458,6 +474,81 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
     return step_fn, init_med
 
 
+def make_epilogue_warm_step_fn(log_p, unravel_fn, gd, n_particles,
+                               max_phi_norm=10.0, remat=False,
+                               median_max_rows=512, median_passes=30,
+                               warm_passes=8, pallas_block=1024,
+                               pallas_interpret=False, median_impl="xla"):
+    """Scan-carried warm step for the LARGE-n streaming-tile path whose
+    post-tile tail — phi combine, global-norm clip, optimizer update —
+    is ONE gridded Pallas kernel (ops/pallas_step.fused_epilogue):
+    step_impl='epilogue'.
+
+    The small-n fused tails (make_fused_warm_step_fn) hold everything in
+    VMEM at once; above their budget the kernel tiles stream
+    (ops/pallas_svgd.py) and this builder re-expresses the remaining
+    XLA tail as one explicit HBM pass. MEASURED NEGATIVE on the
+    deployed chip: XLA already fuses that tail to the HBM floor
+    (18.3 us isolated at n=10240/p=128 vs 21.5 us for the kernel; in
+    the real sampler scan 657 vs 480 us —
+    benchmarks/epilogue_stage_probe.py, sampler_overhead_probe.py), so
+    the default stays 'xla'. The builder keeps the tile and the warm
+    median exactly as the plain pallas path (bitwise-identical medians
+    and (ku, ksum) accumulators); the clip norm is ONE fused XLA
+    reduction over the same combine expression the kernel applies
+    (reference abstract_stein_sampler.py:125 semantics unchanged).
+
+    Returns (step_fn, init_med) with make_warm_step_fn's carry contract.
+    """
+    from .ops.pallas_step import fused_epilogue
+    from .ops.pallas_svgd import pallas_svgd_both_ksum
+
+    compute_med, init_med, _ = _make_warm_median_fns(
+        median_max_rows=median_max_rows, median_passes=median_passes,
+        warm_passes=warm_passes, pallas_interpret=pallas_interpret,
+        median_impl=median_impl,
+    )
+    grad_all = _make_grad_all(log_p, unravel_fn, remat)
+
+    def step_fn(carry, batch):
+        state, med_prev = carry
+        theta = state.particles
+        log_p_vals, grads = grad_all(theta, batch)
+        med = compute_med(theta, med_prev)
+        h2 = rbf.bandwidth_sq_from_median(med, n_particles)
+        f32 = jnp.float32
+        # Mean-centered tile operands (off-origin robustness — see
+        # ops/pallas_svgd.pallas_svgd_both_ksum); the SAME center feeds
+        # the combine here, in the norm reduction, and in the kernel.
+        center = jnp.mean(theta, axis=0, keepdims=True)
+        ku, ksum = pallas_svgd_both_ksum(
+            theta, theta, grads, h2, center,
+            block_i=pallas_block, block_j=pallas_block,
+            interpret=pallas_interpret,
+        )
+        h2f = jnp.asarray(h2, f32)
+        # Pre-clip ||phi||_F: one fused XLA reduction over the combine
+        # (no [n, p] phi array materialises; the kernel re-applies the
+        # identical combine per row block).
+        phi_v = (ku + ksum * (theta - center) / h2f) / n_particles
+        norm = jnp.sqrt(jnp.sum(phi_v * phi_v))
+        new_theta, new_opt = fused_epilogue(
+            ku, ksum, theta, center, h2f, norm, state.opt_state, gd,
+            max_phi_norm=max_phi_norm, n_total=n_particles,
+            interpret=pallas_interpret,
+        )
+        new_state = SVGDState(new_theta, new_opt, state.step + 1)
+        aux = {
+            "phi_norm": norm,
+            "log_p_mean": jnp.mean(log_p_vals),
+            "h2": h2,
+            "median": med,
+        }
+        return (new_state, med), aux
+
+    return step_fn, init_med
+
+
 def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
                       dtype=jnp.float32):
     """Measured-best sampler options for production throughput — the
@@ -597,7 +688,8 @@ class SVGDSampler:
         search with no hint; blocks under 100k entries keep the XLA
         dual-rank search). Requires median='bisect' and f32;
         single-device only (the mesh searches psum across shards).
-    step_impl : "xla" (default) | "fused" | "fused_gram" | "fused_glm" —
+    step_impl : "xla" (default) | "fused" | "fused_gram" | "fused_glm"
+        | "epilogue" —
         "fused" collapses the ENTIRE post-gradient tail (warm median ->
         K -> contractions -> clip -> optimizer) into one Pallas kernel
         (ops/pallas_step.fused_warm_step_tail). Gradients and the
@@ -626,6 +718,20 @@ class SVGDSampler:
         kernel_impl="xla", f32, single device, and
         (n_particles, n_params) small enough that D + K + the state fit
         VMEM (ops/pallas_step.fused_step_vmem_bytes; n=1024/p=128 fits).
+        "epilogue" is the LARGE-n counterpart for shapes above that
+        budget: the streaming tile and warm median run exactly as
+        kernel_impl="pallas" (bitwise-identical medians and tile
+        accumulators), and the post-tile tail — phi combine, clip,
+        optimizer — becomes ONE gridded Pallas kernel making a single
+        HBM pass over the [n, p] state (ops/pallas_step.fused_epilogue).
+        MEASURED NEGATIVE on the deployed chip — XLA already fuses its
+        tail to the HBM floor (18.3 vs 21.5 us isolated; real sampler
+        657 vs 480 us, benchmarks/epilogue_stage_probe.py /
+        sampler_overhead_probe.py) — so it is NOT the default;
+        it stays as the documented floor probe and the fix for
+        toolchains where XLA does not fuse the tail. Requires
+        warm_median=True, kernel_impl="pallas", the default RBF kernel,
+        f32, single device; any (n, p).
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -756,8 +862,23 @@ class SVGDSampler:
                     f"dtype={dtype}"
                 )
             _fused_steps = ("fused", "fused_gram", "fused_glm")
-            if step_impl not in ("xla",) + _fused_steps:
+            if step_impl not in ("xla", "epilogue") + _fused_steps:
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
+            if step_impl == "epilogue":
+                if not warm_median:
+                    raise ValueError(
+                        "step_impl='epilogue' fuses the warm-median scan "
+                        "path; set warm_median=True"
+                    )
+                if kernel is not None or kernel_impl != "pallas":
+                    raise ValueError(
+                        "step_impl='epilogue' is the streaming-tile tail; "
+                        "it requires kernel_impl='pallas' and the default "
+                        "RBF kernel (use step_impl='fused'/'fused_gram' "
+                        "for the small-n all-VMEM tail)"
+                    )
+                if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+                    raise ValueError("step_impl='epilogue' is f32-only")
             if step_impl == "fused_glm" and quadratic_form is None:
                 raise ValueError(
                     "step_impl='fused_glm' needs quadratic_form= (the "
@@ -826,6 +947,18 @@ class SVGDSampler:
                                 if step_impl == "fused_glm" else None
                             ),
                         )
+                elif step_impl == "epilogue":
+                    self._warm_step_fn, self._warm_init_med = \
+                        make_epilogue_warm_step_fn(
+                            log_p, self.unravel_fn, gd, self.n_particles,
+                            max_phi_norm=max_phi_norm, remat=remat,
+                            median_max_rows=median_max_rows,
+                            median_passes=median_passes,
+                            warm_passes=warm_passes,
+                            pallas_block=pallas_block,
+                            pallas_interpret=pallas_interpret,
+                            median_impl=median_impl,
+                        )
                 else:
                     warm_phi = make_warm_phi_fn(
                         self.n_particles, kernel_impl=kernel_impl,
@@ -857,7 +990,7 @@ class SVGDSampler:
                     "kernel cannot contain a collective)"
                 )
             if step_impl not in ("xla", "fused", "fused_gram",
-                                 "fused_glm"):
+                                 "fused_glm", "epilogue"):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl != "xla":
                 raise ValueError(

@@ -226,6 +226,171 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
         stats_ref[3] = logp_mean
 
 
+def _epilogue_kernel(*refs, meta, gd, max_phi_norm):
+    """One row-block of the large-n step epilogue: phi combine -> clip
+    scale -> optimizer update, in a single VMEM residency (see
+    fused_epilogue)."""
+    n_scalar_in, n_array_in, treedef, scalar_pos = meta
+    idx = 0
+    norm_ref = refs[idx]; idx += 1          # SMEM [1]: ||phi||_F
+    h2_ref = refs[idx]; idx += 1            # SMEM [1]
+    ntot_ref = refs[idx]; idx += 1          # SMEM [1]: n_total (f32)
+    scalar_in = refs[idx:idx + n_scalar_in]; idx += n_scalar_in
+    center_ref = refs[idx]; idx += 1        # VMEM [1, p] (constant block)
+    ku_ref = refs[idx]; idx += 1
+    ksum_ref = refs[idx]; idx += 1
+    theta_ref = refs[idx]; idx += 1
+    array_in = refs[idx:idx + n_array_in]; idx += n_array_in
+    out_theta = refs[idx]; idx += 1
+    out_arrays = refs[idx:idx + n_array_in]; idx += n_array_in
+    out_scalars = refs[idx:idx + n_scalar_in]
+
+    f32 = jnp.float32
+    theta = theta_ref[:]
+    tc = theta - center_ref[:]
+    # phi combine — identical algebra (and op order) to
+    # ops/pallas_svgd.pallas_svgd_phi_rect's XLA combine.
+    phi = (ku_ref[:] + ksum_ref[:] * tc / h2_ref[0]) / ntot_ref[0]
+    c = jnp.asarray(max_phi_norm, f32)
+    phi = phi * (c / jnp.maximum(c, norm_ref[0]))
+
+    leaves = []
+    si = iter(scalar_in)
+    ai = iter(array_in)
+    for is_scalar in scalar_pos:
+        leaves.append(next(si)[0] if is_scalar else next(ai)[:])
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    update = getattr(gd, "update_kernel", gd.update)
+    delta, new_state = update(opt_state, phi)
+    new_treedef = jax.tree_util.tree_structure(new_state)
+    if new_treedef != treedef:
+        raise ValueError(
+            "fused epilogue: gd.update returned an optimizer state with "
+            f"a different pytree structure than its input ({new_treedef} "
+            f"vs {treedef}); a structure-preserving step rule is required"
+        )
+    out_theta[:] = theta + delta
+    so = iter(out_scalars)
+    ao = iter(out_arrays)
+    for is_scalar, leaf in zip(scalar_pos,
+                               jax.tree_util.tree_leaves(new_state)):
+        if is_scalar:
+            # Scalar state (e.g. Adam's count / decayed lr) evolves
+            # identically in every row block; each block writes the same
+            # value.
+            next(so)[0] = leaf
+        else:
+            next(ao)[:] = leaf
+
+
+def _epilogue_block_rows(n, p):
+    """Row-block size for fused_epilogue: ~0.5 MiB per [rows, p] f32
+    buffer (7 such buffers + double-buffered pipelining stays well under
+    the 16 MiB/core VMEM), snapped to a multiple of 8 rows."""
+    rows = max(8, min(n, (2 ** 19) // (4 * p)))
+    return max(8, rows - rows % 8)
+
+
+def fused_epilogue(ku, ksum, theta, center, h2, norm, opt_state, gd,
+                   max_phi_norm=10.0, n_total=None, block_rows=None,
+                   interpret=False):
+    """Large-n step epilogue as ONE gridded Pallas kernel: the phi
+    combine ``phi = (ku + ksum * (theta - center)/h^2) / n_total``
+    (ops/pallas_svgd.pallas_svgd_phi_rect), the global-norm clip scale
+    (reference abstract_stein_sampler.py:125; ``norm`` — computed by the
+    caller in one fused XLA reduction over the same combine — rides in
+    as a scalar), and the optimizer's own ``gd.update`` pytree rule
+    traced in-kernel (ops/optimizers.py quirks included by
+    construction), gridded over row blocks.
+
+    MEASURED NEGATIVE on the deployed chip. Isolated (same-session,
+    benchmarks/epilogue_stage_probe.py, n=10240/p=128): the XLA tail is
+    18.3 us — XLA already fuses the combine/clip/Adam chain to the HBM
+    floor — vs 21.5 us for this kernel. In the REAL sampler scan the
+    epilogue step measured 657 vs 480 us (benchmarks/
+    sampler_overhead_probe.py, 0.5 s slope numerators; an earlier
+    "0.998x wash" A/B and the ~175 us "clip+Adam rest" attribution that
+    motivated the kernel both had numerators below the tunnel's RTT
+    variance — noise). The option stays in-tree: it is tested, it
+    documents the floor, and on toolchains/chips where XLA does NOT
+    fuse the tail it is the fix.
+
+    Returns (new_theta, new_opt_state). f32-only, like the fused tails.
+    """
+    n, p = theta.shape
+    if n_total is None:
+        n_total = n
+    for name, arr in (("ku", ku), ("ksum", ksum), ("theta", theta)):
+        if arr.dtype != jnp.float32:
+            raise TypeError(
+                f"fused epilogue is f32-only (got {name}={arr.dtype})"
+            )
+    f32 = jnp.float32
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    scalar_pos = tuple(jnp.ndim(leaf) == 0 for leaf in leaves)
+    scalar_leaves = [l for l, s in zip(leaves, scalar_pos) if s]
+    array_leaves = [l for l, s in zip(leaves, scalar_pos) if not s]
+    for leaf in array_leaves:
+        if leaf.shape != (n, p):
+            raise ValueError(
+                "fused epilogue supports optimizer states whose array "
+                f"leaves are [n, p]; got {leaf.shape}"
+            )
+
+    br = block_rows or _epilogue_block_rows(n, p)
+    n_pad = -(-n // br) * br
+    pad = n_pad - n
+
+    def _pad(x):
+        return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    ku_p = _pad(ku)
+    ksum_p = _pad(ksum)
+    theta_p = _pad(theta)
+    arrays_p = [_pad(l) for l in array_leaves]
+    grid = (n_pad // br,)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cblock = pl.BlockSpec((1, p), lambda i: (0, 0))
+    rows = lambda w: pl.BlockSpec((br, w), lambda i: (i, 0))  # noqa: E731
+    in_specs = (
+        [smem] * (3 + len(scalar_leaves))
+        + [cblock, rows(p), rows(1), rows(p)]
+        + [rows(p)] * len(array_leaves)
+    )
+    out_specs = (
+        [rows(p)] * (1 + len(array_leaves))
+        + [smem] * len(scalar_leaves)
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((n_pad, p), f32)]
+        + [jax.ShapeDtypeStruct((n_pad, p), l.dtype) for l in array_leaves]
+        + [jax.ShapeDtypeStruct((1,), l.dtype) for l in scalar_leaves]
+    )
+    meta = (len(scalar_leaves), len(array_leaves), treedef, scalar_pos)
+    kernel = functools.partial(
+        _epilogue_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
+    )
+    outs = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(jnp.asarray(norm, f32).reshape(1),
+      jnp.asarray(h2, f32).reshape(1),
+      jnp.asarray(n_total, f32).reshape(1),
+      *[l.reshape(1) for l in scalar_leaves],
+      jnp.asarray(center, f32).reshape(1, p),
+      ku_p, ksum_p, theta_p, *arrays_p)
+
+    new_theta = outs[0][:n]
+    new_arrays = [o[:n] for o in outs[1:1 + len(array_leaves)]]
+    new_scalars = [o.reshape(()) for o in outs[1 + len(array_leaves):]]
+    new_leaves = []
+    si, ai = iter(new_scalars), iter(new_arrays)
+    for is_scalar in scalar_pos:
+        new_leaves.append(next(si) if is_scalar else next(ai))
+    return new_theta, jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                          max_phi_norm=10.0, warm_passes=8,
                          brackets=DEFAULT_BRACKETS, interpret=False,

@@ -12,6 +12,7 @@ Equality structure:
   sets) diverge chaotically within that tolerance.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -256,3 +257,108 @@ def test_fused_glm_guards():
     with pytest.raises(ValueError, match="fused_glm"):
         SVGDSampler(**common, step_impl="fused",
                     quadratic_form=model.quadratic_form)
+
+
+@pytest.mark.parametrize("gd_factory", [
+    lambda: Adam(learning_rate=1e-1, decay=0.999),
+    lambda: Adagrad(learning_rate=5e-2),
+])
+def test_epilogue_step_matches_pallas_warm_trajectory(gd_factory):
+    """step_impl='epilogue' keeps the tile and warm median bitwise-equal
+    to the plain kernel_impl='pallas' warm path and only re-expresses
+    the tail (phi combine + clip + optimizer) as one gridded kernel —
+    so unlike the fused_gram tests, the trajectories here must match to
+    optimizer-reformulation tolerance (Adam's in-kernel exp/log pow),
+    not the Pallas D tolerance class."""
+    model, batch, theta0 = _problem()
+    a = _make(model, theta0, gd_factory(), "xla", kernel_impl="pallas")
+    b = _make(model, theta0, gd_factory(), "epilogue",
+              kernel_impl="pallas")
+    aux_a = a.run(batch, 15)
+    aux_b = b.run(batch, 15)
+    med_a = np.asarray(aux_a["median"])
+    med_b = np.asarray(aux_b["median"])
+    # Identical tile + identical median machinery: step 1 is bitwise.
+    assert med_b[0] == med_a[0], (med_b[0], med_a[0])
+    np.testing.assert_allclose(med_b, med_a, rtol=1e-5)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(aux_b["phi_norm"]), np.asarray(aux_a["phi_norm"]),
+        rtol=1e-5,
+    )
+
+
+def test_fused_epilogue_unit_vs_manual():
+    """fused_epilogue == phi combine -> clip -> gd.update, including a
+    row count NOT divisible by the block (zero-padding must not leak
+    into outputs or the scalar state)."""
+    from stein_tpu.ops.pallas_step import fused_epilogue
+
+    n, p = 40, 6
+    rng = np.random.default_rng(3)
+    theta = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    ku = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    ksum = jnp.asarray(rng.uniform(1.0, 2.0, size=(n, 1)), jnp.float32)
+    center = jnp.mean(theta, axis=0, keepdims=True)
+    h2 = jnp.float32(0.7)
+    gd = Adam(learning_rate=1e-1)
+    opt_state = gd.init((n, p), jnp.float32)
+
+    phi = (ku + ksum * (theta - center) / h2) / n
+    norm = jnp.sqrt(jnp.sum(phi * phi))
+    c = jnp.float32(10.0)
+    phi_c = phi * (c / jnp.maximum(c, norm))
+    delta, want_state = gd.update(opt_state, phi_c)
+    want_theta = theta + delta
+
+    for block_rows in (16, None):  # 16 pads 40 -> 48; None = one block
+        got_theta, got_state = fused_epilogue(
+            ku, ksum, theta, center, h2, norm, opt_state, gd,
+            max_phi_norm=10.0, block_rows=block_rows, interpret=True,
+        )
+        np.testing.assert_allclose(got_theta, want_theta, rtol=2e-6,
+                                   atol=1e-7)
+        for got, want in zip(
+            jax.tree_util.tree_leaves(got_state),
+            jax.tree_util.tree_leaves(want_state),
+        ):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-6, atol=1e-7)
+
+
+def test_fused_epilogue_rejects_structure_changing_optimizer():
+    from stein_tpu.ops.pallas_step import fused_epilogue
+
+    class BadGD:
+        def init(self, shape, dtype):
+            return {"m": jnp.zeros(shape, dtype)}
+
+        def update(self, state, phi):
+            return phi, {"m": state["m"] + phi, "extra": jnp.float32(0)}
+
+    n, p = 16, 4
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    ku = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    ksum = jnp.ones((n, 1), jnp.float32)
+    gd = BadGD()
+    with pytest.raises(ValueError, match="structure-preserving"):
+        fused_epilogue(
+            ku, ksum, theta, jnp.zeros((1, p), jnp.float32),
+            jnp.float32(1.0), jnp.float32(1.0),
+            gd.init((n, p), jnp.float32), gd, interpret=True,
+        )
+
+
+def test_epilogue_guards():
+    model, batch, theta0 = _problem()
+    gd = Adam(learning_rate=1e-1)
+    with pytest.raises(ValueError, match="warm_median"):
+        SVGDSampler(
+            n_particles=48, log_p=model.log_p,
+            param_template=model.template(), gd=gd, theta=theta0,
+            median="bisect", kernel_impl="pallas", step_impl="epilogue",
+        )
+    with pytest.raises(ValueError, match="kernel_impl='pallas'"):
+        _make(model, theta0, gd, "epilogue")  # default kernel_impl=xla
