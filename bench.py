@@ -158,12 +158,14 @@ def main():
     n1 = 1000
     X, y, theta0 = make_data(n1)
     t_np = bench_numpy(X, y, theta0)
-    # K=1000/R=10/reps=5: the slope numerator (R-1)*K*step must dominate
+    # K=2000/R=10/reps=5: the slope numerator (R-1)*K*step must dominate
     # the tunnel's 30-110 ms fetch-RTT variance; at ~50 us/step K=200
     # left a ~0.09 s numerator and the result bounced 48<->58 us across
-    # runs — K=1000 gives ~0.45 s and a stable reading.
+    # runs. At the current ~25 us step K=1000 gives ~0.22 s — still
+    # marginal (see RESULTS.md r3 "slope noise" lesson) — so K=2000
+    # (~0.45 s numerator).
     t_jax = bench_jax(
-        X, y, theta0, K=1000, R=10, reps=5,
+        X, y, theta0, K=2000, R=10, reps=5,
         median="bisect",   # sort-free on-device median (sorts are the one
                            # slow TPU primitive; see ops/median.py)
         median_passes=16,  # bandwidth to ~1e-4 relative: ample for the
@@ -199,7 +201,7 @@ def main():
     # (sufficient-statistics batch + in-kernel gradients — the whole
     # step is ONE kernel; exact algebra, benchmarks/RESULTS.md r3).
     t_glm = bench_jax(
-        X, y, theta0, K=1000, R=10, reps=5, glm=True,
+        X, y, theta0, K=3000, R=10, reps=5, glm=True,
         median="bisect", median_passes=16, warm_median=True,
         warm_passes=6, median_impl="fused",
     )
@@ -209,8 +211,10 @@ def main():
     # median heuristic").
     n2 = 10240
     X2, y2, theta2 = make_data(n2, seed=1)
+    # K=200: (R-1)*K*step ~ 0.5 s at the ~0.5 ms step (K=100's ~0.25 s
+    # numerator was marginal against the RTT variance — r3 lesson).
     t_jax2 = bench_jax(
-        X2, y2, theta2, K=100, R=6, reps=4,
+        X2, y2, theta2, K=200, R=6, reps=4,
         kernel_impl="pallas", median="bisect", median_passes=16,
         warm_median=True, warm_passes=8,
         pallas_block=1024,    # tile sweep: 1024 beats 512 by ~8% at this n
