@@ -21,6 +21,7 @@ from .ops.optimizers import (
     AdagradGradientDescent,
 )
 from .kernels import SquaredExponentialKernel, InverseMultiquadricKernel
+from .ops.pallas_step import InKernelModel
 
 __all__ = [
     "__version__",
@@ -28,6 +29,7 @@ __all__ = [
     "SVGDState",
     "SteinSampler",
     "throughput_config",
+    "InKernelModel",
     "Adam",
     "Adagrad",
     "AdamGradientDescent",

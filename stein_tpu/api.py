@@ -387,7 +387,8 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
                             max_phi_norm=10.0, remat=False,
                             median_max_rows=512, median_passes=30,
                             warm_passes=8, pallas_interpret=False,
-                            gram_in_kernel=False, quadratic_form=None):
+                            gram_in_kernel=False, quadratic_form=None,
+                            inkernel_model=None):
     """Scan-carried warm step whose ENTIRE post-gradient tail (warm median
     -> K -> contractions -> clip -> optimizer) is one Pallas kernel
     (ops/pallas_step.fused_warm_step_tail) — the small-n dispatch-latency
@@ -410,18 +411,25 @@ def make_fused_warm_step_fn(log_p, unravel_fn, gd,
     def step_fn(carry, batch):
         state, med_prev = carry
         theta = state.particles
-        if quadratic_form is not None:
-            # step_impl='fused_glm': gradients AND log_p values come
-            # from the quadratic form INSIDE the kernel — no XLA
+        if quadratic_form is not None or inkernel_model is not None:
+            # step_impl='fused_glm'/'fused_model': gradients AND log_p
+            # values come from the model INSIDE the kernel — no XLA
             # gradient stage at all.
-            A_eff, b_eff, const = quadratic_form(batch)
+            if quadratic_form is not None:
+                A_eff, b_eff, const = quadratic_form(batch)
+                kernel_kw = {"glm": (A_eff, b_eff)}
+            else:
+                m = inkernel_model(batch)
+                const = m.const
+                kernel_kw = {"model": m}
             new_theta, new_opt, (med, norm, h2, logp_m) = \
                 fused_warm_step_tail(
                     theta, None, None, None, med_prev,
                     state.opt_state, gd, max_phi_norm=max_phi_norm,
                     warm_passes=warm_passes, interpret=pallas_interpret,
-                    gram_in_kernel=True, glm=(A_eff, b_eff),
+                    gram_in_kernel=True,
                     theta_sub=subsample_rows(theta, median_max_rows),
+                    **kernel_kw,
                 )
             log_p_mean = logp_m + const
         else:
@@ -643,6 +651,13 @@ class SVGDSampler:
         models.LinearRegressionModel.quadratic_form. The kernel
         computes per-particle gradients b_eff - A_eff w and log_p
         values from it.
+    inkernel_model : required by (and only by) step_impl="fused_model":
+        callable batch -> ops.pallas_step.InKernelModel packaging the
+        model's gradient stage for execution INSIDE the fused step
+        kernel (staged VMEM operands + a Mosaic-legal grad_fn) — the
+        generalization of quadratic_form to non-quadratic models, e.g.
+        models.LogisticRegressionModel.inkernel_model (the reference's
+        Covertype workload as ONE kernel per step).
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh
@@ -689,7 +704,7 @@ class SVGDSampler:
         dual-rank search). Requires median='bisect' and f32;
         single-device only (the mesh searches psum across shards).
     step_impl : "xla" (default) | "fused" | "fused_gram" | "fused_glm"
-        | "epilogue" —
+        | "fused_model" | "epilogue" —
         "fused" collapses the ENTIRE post-gradient tail (warm median ->
         K -> contractions -> clip -> optimizer) into one Pallas kernel
         (ops/pallas_step.fused_warm_step_tail). Gradients and the
@@ -710,7 +725,15 @@ class SVGDSampler:
         the per-particle gradients and log_p values are computed INSIDE
         the kernel from (A_eff, b_eff), so the whole SVGD step is ONE
         kernel — 16.1 us = 62M updates/s at n=1000/p=128, exact-algebra
-        gradients (benchmarks/RESULTS.md r3). Extra warm rounds cost
+        gradients (benchmarks/RESULTS.md r3). "fused_model" is the same
+        whole-step-in-one-kernel contract for models that are NOT
+        explicit quadratics: pass ``inkernel_model=`` (a factory
+        returning ops.pallas_step.InKernelModel — staged VMEM operands
+        plus a Mosaic-legal in-kernel grad_fn), e.g.
+        LogisticRegressionModel.inkernel_model, which runs the
+        reference's hierarchical Covertype model (sigmoid likelihood +
+        Gamma hyperprior) with exact-algebra gradients at the in-kernel
+        dots' bf16-class input precision. Extra warm rounds cost
         ~2-6 us each even
         in-kernel (sequential scalar-synced VMEM passes — measured,
         benchmarks/fused_step_bench.py), much less than an XLA dispatch
@@ -743,7 +766,8 @@ class SVGDSampler:
                  kernel=None, binned_bins=4096, binned_block_rows=256,
                  median_passes=30, warm_median=False, warm_passes=8,
                  pallas_precision="f32", median_impl="xla",
-                 step_impl="xla", quadratic_form=None):
+                 step_impl="xla", quadratic_form=None,
+                 inkernel_model=None):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -861,7 +885,8 @@ class SVGDSampler:
                     "TPU-native float); use median_impl='xla' with "
                     f"dtype={dtype}"
                 )
-            _fused_steps = ("fused", "fused_gram", "fused_glm")
+            _fused_steps = ("fused", "fused_gram", "fused_glm",
+                            "fused_model")
             if step_impl not in ("xla", "epilogue") + _fused_steps:
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl == "epilogue":
@@ -890,6 +915,18 @@ class SVGDSampler:
                 raise ValueError(
                     "quadratic_form is consumed only by "
                     "step_impl='fused_glm'"
+                )
+            if step_impl == "fused_model" and inkernel_model is None:
+                raise ValueError(
+                    "step_impl='fused_model' needs inkernel_model= (the "
+                    "model's in-kernel gradient factory, e.g. "
+                    "LogisticRegressionModel.inkernel_model) — the "
+                    "kernel computes the gradients from it"
+                )
+            if inkernel_model is not None and step_impl != "fused_model":
+                raise ValueError(
+                    "inkernel_model is consumed only by "
+                    "step_impl='fused_model'"
                 )
             if step_impl in _fused_steps:
                 from .ops.pallas_step import (
@@ -932,7 +969,7 @@ class SVGDSampler:
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
                     )
-                if step_impl in ("fused", "fused_gram", "fused_glm"):
+                if step_impl in _fused_steps:
                     self._warm_step_fn, self._warm_init_med = \
                         make_fused_warm_step_fn(
                             log_p, self.unravel_fn, gd,
@@ -945,6 +982,10 @@ class SVGDSampler:
                             quadratic_form=(
                                 quadratic_form
                                 if step_impl == "fused_glm" else None
+                            ),
+                            inkernel_model=(
+                                inkernel_model
+                                if step_impl == "fused_model" else None
                             ),
                         )
                 elif step_impl == "epilogue":
@@ -990,7 +1031,7 @@ class SVGDSampler:
                     "kernel cannot contain a collective)"
                 )
             if step_impl not in ("xla", "fused", "fused_gram",
-                                 "fused_glm", "epilogue"):
+                                 "fused_glm", "fused_model", "epilogue"):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl != "xla":
                 raise ValueError(

@@ -28,6 +28,7 @@ FUSED_STEP_VMEM_BUDGET, which is calibrated to the largest shape measured
 to compile (n=1024/p=128, the n=1k bench config).
 """
 
+import dataclasses
 import functools
 
 import jax
@@ -74,14 +75,28 @@ def fused_step_fits(n, p, median_max_rows=512):
     return fused_step_vmem_bytes(n, p, m) <= FUSED_STEP_VMEM_BUDGET
 
 
+def _glm_grad(theta, A, b_row):
+    """In-kernel gradients + mean log_p (minus const) of an explicit
+    quadratic log-posterior log_p(w) = -0.5 w^T A w + b^T w + const:
+    the gradients b - theta A are ONE [n, p] x [p, p] in-kernel dot
+    (A symmetric) and the per-particle log_p values come from the shared
+    product — sum_i [-0.5 theta_i.G_i + theta_i.b] as one full reduction
+    (rank-1 intermediates avoided for Mosaic legalization)."""
+    f32 = jnp.float32
+    G = jnp.dot(theta, A, preferred_element_type=f32)
+    grads = b_row - G
+    logp_mean = jnp.sum(theta * (b_row - 0.5 * G)) / theta.shape[0]
+    return grads, logp_mean
+
+
 def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
-                 n_particles):
+                 n_particles, model_grad=None):
     (n_scalar_in, n_array_in, treedef, scalar_pos, share_dsub,
-     gram_in_kernel, glm) = meta
+     gram_in_kernel, n_model_ops) = meta
     # in refs: med, *opt_scalars,
     #          D, [Dsub]            (gram_in_kernel=False)  or
-    #          [A_eff, b_eff,] [theta_sub]   (gram_in_kernel=True),
-    #          theta, [grads,] *opt_arrays   (grads absent when glm)
+    #          [*model_operands,] [theta_sub]   (gram_in_kernel=True),
+    #          theta, [grads,] *opt_arrays (grads absent when model_grad)
     # out refs: new_theta, *new_opt_arrays, *new_opt_scalars, stats
     idx = 0
     med_ref = refs[idx]; idx += 1
@@ -94,13 +109,11 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
         else:
             Dsub_ref = refs[idx]; idx += 1
     else:
-        if glm:
-            A_ref = refs[idx]; idx += 1
-            b_ref = refs[idx]; idx += 1
+        model_refs = refs[idx:idx + n_model_ops]; idx += n_model_ops
         if not share_dsub:
             theta_sub_ref = refs[idx]; idx += 1
     theta_ref = refs[idx]; idx += 1
-    if glm:
+    if model_grad is not None:
         grads = None
     else:
         grads_ref = refs[idx]; idx += 1
@@ -115,19 +128,18 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     f32 = jnp.float32
 
     logp_mean = jnp.float32(0.0)
-    if glm:
-        # GLM fast path: the log-posterior is the explicit quadratic
-        # log_p(w) = -0.5 w^T A w + b^T w + c, so the per-particle
-        # gradients are ONE [n, p] x [p, p] in-kernel dot (b - theta A;
-        # A symmetric) and the per-particle log_p values come from the
-        # shared product — the whole SVGD step is now a single kernel.
-        G = jnp.dot(theta, A_ref[:], preferred_element_type=f32)
-        b_row = b_ref[:]                               # [1, p]
-        grads = b_row - G
-        # mean_i log_p_i (minus the constant) as ONE full reduction —
-        # sum_i [-0.5 theta_i.G_i + theta_i.b] = sum_ij theta*(b - G/2);
-        # rank-1 intermediates avoided (Mosaic legalization).
-        logp_mean = jnp.sum(theta * (b_row - 0.5 * G)) / theta.shape[0]
+    if model_grad is not None:
+        # In-kernel model stage (step_impl='fused_glm'/'fused_model'):
+        # the model's per-particle gradients AND log_p values are
+        # computed INSIDE the kernel from its staged operands (pure jnp
+        # traced here, like the optimizer's update rule) — the whole
+        # SVGD step is a single kernel. In-kernel dots run at bf16-class
+        # input precision (benchmarks/sym_and_gram_bench.py); models
+        # whose gradients need f32-faithful matmuls should stay on
+        # step_impl='fused_gram' with XLA gradients.
+        grads, logp_mean = model_grad(
+            theta, *[r[:] for r in model_refs]
+        )
 
     if gram_in_kernel:
         # D = r + r^T - 2 T T^T (abstract_kernel.py:33-35) on the
@@ -222,7 +234,7 @@ def _tail_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     stats_ref[0] = med
     stats_ref[1] = norm
     stats_ref[2] = h2
-    if glm:
+    if model_grad is not None:
         stats_ref[3] = logp_mean
 
 
@@ -391,11 +403,53 @@ def fused_epilogue(ku, ksum, theta, center, h2, norm, opt_state, gd,
     return new_theta, jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+@dataclasses.dataclass(frozen=True)
+class InKernelModel:
+    """A model's gradient stage packaged for execution INSIDE the fused
+    step kernel (step_impl='fused_model'): the whole SVGD step — model
+    gradients, warm median, K, contractions, clip, optimizer — becomes
+    ONE Pallas kernel, the way step_impl='fused_glm' does it for
+    explicit quadratics (which is this protocol's first instance,
+    ``_glm_grad``).
+
+    operands : tuple of f32 arrays, each ndim >= 2 (Mosaic VMEM layout),
+        staged into VMEM as kernel inputs — e.g. a feature matrix, label
+        row, parameter-layout masks. Computed per batch in XLA by the
+        model's ``inkernel_model(batch)`` factory, so minibatch scans
+        re-derive them each step.
+    grad_fn : callable (theta [n, p] f32, *operand values) ->
+        (grads [n, p], logp_mean scalar). Traced inside the kernel like
+        the optimizer's update rule: pure jnp, Mosaic-legal ops only
+        (dot / elementwise / full reductions; no gathers, no rank-1
+        intermediates). ``logp_mean`` EXCLUDES ``const``. In-kernel dots
+        run at bf16-class input precision regardless of dtype
+        (benchmarks/sym_and_gram_bench.py) — models needing f32-faithful
+        gradient matmuls should stay on step_impl='fused_gram'.
+    const : scalar added to the returned mean log_p outside the kernel
+        (the parameter-independent part of log_p).
+    vmem_bytes : optional callable n_particles -> int estimating the
+        operands' + grad_fn temporaries' VMEM bytes, used by the
+        pre-compile budget gate; defaults to the operands' nbytes (i.e.
+        temporaries unaccounted — provide it when grad_fn materialises
+        [n, N]-class intermediates, like a logits matrix).
+    """
+    operands: tuple
+    grad_fn: object
+    const: float = 0.0
+    vmem_bytes: object = None
+
+    def extra_vmem(self, n):
+        if self.vmem_bytes is not None:
+            return int(self.vmem_bytes(n))
+        return int(sum(op.size * op.dtype.itemsize
+                       for op in self.operands))
+
+
 def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                          max_phi_norm=10.0, warm_passes=8,
                          brackets=DEFAULT_BRACKETS, interpret=False,
                          gram_in_kernel=False, theta_sub=None,
-                         glm=None):
+                         glm=None, model=None):
     """One-kernel step tail. Returns (new_theta, new_opt_state,
     (med, phi_norm, h2)).
 
@@ -413,28 +467,57 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     of theta (ops/median.row_subsample_block's row policy), or None when
     every row is kept (n <= max_rows).
 
-    ``glm=(A_eff, b_eff)`` (step_impl='fused_glm'; requires
-    gram_in_kernel and grads=None): the log-posterior is the quadratic
-    -0.5 w^T A w + b^T w + c (the model's ``quadratic_form`` contract),
-    so the per-particle gradients b - A w are computed INSIDE the kernel
-    too — the whole SVGD step is one kernel. Returns an extra stat:
-    mean_i (log_p_i - c) (add the constant outside).
+    ``model=InKernelModel(...)`` (step_impl='fused_model'; requires
+    gram_in_kernel and grads=None): the model's per-particle gradients
+    and log_p values are computed INSIDE the kernel from its staged
+    operands — the whole SVGD step is one kernel. Returns an extra
+    stat: mean_i log_p_i minus ``model.const`` (add it outside).
+
+    ``glm=(A_eff, b_eff)`` (step_impl='fused_glm') is the explicit-
+    quadratic sugar for the same protocol: log_p(w) = -0.5 w^T A w +
+    b^T w + c (the model's ``quadratic_form`` contract), gradients
+    b - A w (see ``_glm_grad``).
     """
     n, p = theta.shape
-    if glm is not None and not gram_in_kernel:
-        raise ValueError("glm requires gram_in_kernel=True")
+    if glm is not None:
+        if model is not None:
+            raise ValueError("pass glm= or model=, not both")
+        A_eff, b_eff = glm
+        if A_eff.shape != (p, p):
+            raise ValueError(f"A_eff shape {A_eff.shape} != ({p},{p})")
+        f32_ = jnp.float32
+        model = InKernelModel(
+            operands=(A_eff.astype(f32_),
+                      b_eff.astype(f32_).reshape(1, p)),
+            grad_fn=_glm_grad,
+        )
+    if model is not None and not gram_in_kernel:
+        raise ValueError("an in-kernel model requires gram_in_kernel=True")
     if gram_in_kernel:
         share_dsub = theta_sub is None
         m = n if share_dsub else theta_sub.shape[0]
-        grads_checked = () if glm is not None else (("grads", grads),)
+        grads_checked = () if model is not None else (("grads", grads),)
         checked = (("theta", theta),) + grads_checked + (
             () if share_dsub else (("theta_sub", theta_sub),)
         )
-        if glm is not None:
-            A_eff, b_eff = glm
-            if A_eff.shape != (p, p):
-                raise ValueError(f"A_eff shape {A_eff.shape} != ({p},{p})")
-            checked = checked + (("A_eff", A_eff),)
+        if model is not None:
+            for i, op in enumerate(model.operands):
+                if op.ndim < 2:
+                    raise ValueError(
+                        f"in-kernel model operand {i} must be >=2-D for "
+                        f"the Mosaic VMEM layout (got shape {op.shape}); "
+                        "reshape rows/scalars to [1, k]"
+                    )
+                checked = checked + ((f"model operand {i}", op),)
+            extra = model.extra_vmem(n)
+            if (fused_step_vmem_bytes(n, p, m) + extra
+                    > FUSED_STEP_VMEM_BUDGET):
+                raise ValueError(
+                    "fused_model: the in-kernel model's operands/"
+                    f"temporaries (~{extra / 2**20:.1f} MiB) push the "
+                    "fused step past the VMEM budget; shrink the data "
+                    "batch or use step_impl='fused_gram' (XLA gradients)"
+                )
     else:
         share_dsub = D_sub is D
         m = D_sub.shape[0]
@@ -465,17 +548,16 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if gram_in_kernel:
         mat_args = () if share_dsub else (theta_sub,)
-        if glm is not None:
-            mat_args = (A_eff.astype(f32),
-                        b_eff.astype(f32).reshape(1, p)) + mat_args
+        if model is not None:
+            mat_args = tuple(model.operands) + mat_args
     else:
         # When the subsample policy kept every row (n <= max_rows), the
         # caller passes D itself as D_sub — stage it into VMEM once.
         mat_args = (D,) if share_dsub else (D, D_sub)
-    grads_args = () if glm is not None else (grads,)
+    grads_args = () if model is not None else (grads,)
     n_vmem_in = len(mat_args) + 1 + len(grads_args) + len(array_leaves)
     in_specs = [smem] * (1 + len(scalar_leaves)) + [vmem] * n_vmem_in
-    n_stats = 4 if glm is not None else 3
+    n_stats = 4 if model is not None else 3
     out_specs = ([vmem] * (1 + len(array_leaves))
                  + [smem] * (len(scalar_leaves) + 1))
     out_shape = (
@@ -485,11 +567,13 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
         + [jax.ShapeDtypeStruct((n_stats,), f32)]
     )
     meta = (len(scalar_leaves), len(array_leaves), treedef, scalar_pos,
-            share_dsub, gram_in_kernel, glm is not None)
+            share_dsub, gram_in_kernel,
+            0 if model is None else len(model.operands))
     kernel = functools.partial(
         _tail_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
         k=(total + 1) // 2, rounds=(warm_passes + 1) // 2,
         brackets=brackets, n_particles=n,
+        model_grad=None if model is None else model.grad_fn,
     )
     outs = pl.pallas_call(
         kernel, in_specs=in_specs, out_specs=out_specs,
@@ -511,7 +595,7 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     for is_scalar in scalar_pos:
         new_leaves.append(next(si) if is_scalar else next(ai))
     new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
-    if glm is not None:
+    if model is not None:
         return new_theta, new_opt, (stats[0], stats[1], stats[2],
                                     stats[3])
     return new_theta, new_opt, (stats[0], stats[1], stats[2])

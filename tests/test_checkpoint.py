@@ -212,28 +212,39 @@ def test_recovery_divergence_detection(tmp_path):
 import pytest
 
 
-@pytest.mark.parametrize("step_impl", ["fused", "fused_gram", "fused_glm"])
+@pytest.mark.parametrize("step_impl", ["fused", "fused_gram", "fused_glm",
+                                       "fused_model"])
 def test_save_restore_fused_step_sampler(tmp_path, step_impl):
     """Checkpoint/resume with the fused step tails (incl. the r3
-    fused_gram / fused_glm variants — same SVGDState pytree), so a
-    restored sampler must continue bit-identically through chunked
-    run() calls (each of which re-seeds the warm carry from the
+    fused_gram / fused_glm / fused_model variants — same SVGDState
+    pytree), so a restored sampler must continue bit-identically through
+    chunked run() calls (each of which re-seeds the warm carry from the
     restored particles)."""
     rng = np.random.default_rng(2)
     n, p = 48, 4
     X = rng.normal(size=(30, p))
-    y = X @ rng.normal(size=(p, 1))
-    model = LinearRegressionModel(p)
+    if step_impl == "fused_model":
+        from stein_tpu.models import LogisticRegressionModel
+        model = LogisticRegressionModel(p, n_train=100, n_batch=30)
+        y = (X @ rng.normal(size=(p, 1)) > 0).astype(np.float64)
+        n_params = p + 1
+    else:
+        model = LinearRegressionModel(p)
+        y = X @ rng.normal(size=(p, 1))
+        n_params = p
     batch = {"X": jnp.asarray(X, jnp.float32),
              "y": jnp.asarray(y, jnp.float32)}
     if step_impl == "fused_glm":
         batch = model.sufficient_batch(batch)
-    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.01, jnp.float32)
+    theta0 = jnp.asarray(rng.normal(size=(n, n_params)) * 0.01,
+                         jnp.float32)
 
     def make():
         kw = {}
         if step_impl == "fused_glm":
             kw["quadratic_form"] = model.quadratic_form
+        if step_impl == "fused_model":
+            kw["inkernel_model"] = model.inkernel_model
         return SVGDSampler(
             n_particles=n, log_p=model.log_p,
             param_template=model.template(), gd=Adam(learning_rate=1e-1,

@@ -362,3 +362,110 @@ def test_epilogue_guards():
         )
     with pytest.raises(ValueError, match="kernel_impl='pallas'"):
         _make(model, theta0, gd, "epilogue")  # default kernel_impl=xla
+
+
+def _logreg_problem(n=48, d=6, n_obs=20, seed=1):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_obs, d))
+    w_true = rng.normal(size=(d, 1))
+    y = (X @ w_true > 0).astype(np.float64).reshape(n_obs, 1)
+    from stein_tpu.models import LogisticRegressionModel
+    model = LogisticRegressionModel(d, n_train=200, n_batch=n_obs)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, d + 1)) * 0.1, jnp.float32)
+    return model, batch, theta0
+
+
+def test_logreg_inkernel_grad_matches_autodiff():
+    """LogisticRegressionModel.inkernel_model's hand-derived gradients
+    and log_p values must equal vmap(value_and_grad(log_p)) to f32
+    rounding when evaluated OUTSIDE the kernel (exact algebra; the
+    in-kernel dot precision class is a separate, on-chip concern)."""
+    from stein_tpu.utils.ravel import template_unraveler
+
+    model, batch, theta0 = _logreg_problem()
+    _, unravel = template_unraveler(model.template())
+    ikm = model.inkernel_model(batch)
+    grads_k, logp_mean_k = ikm.grad_fn(theta0, *ikm.operands)
+
+    def lp(row):
+        return model.log_p(unravel(row), batch)
+
+    vals, grads_a = jax.vmap(jax.value_and_grad(lp))(theta0)
+    scale_g = float(jnp.max(jnp.abs(grads_a)))
+    np.testing.assert_allclose(np.asarray(grads_k), np.asarray(grads_a),
+                               atol=2e-6 * scale_g)
+    np.testing.assert_allclose(
+        float(logp_mean_k + ikm.const), float(jnp.mean(vals)), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("gd_factory", [
+    lambda: Adam(learning_rate=1e-1, decay=0.999),
+    lambda: Adagrad(learning_rate=5e-2),
+])
+def test_fused_model_logreg_matches_xla_warm_trajectory(gd_factory):
+    """step_impl='fused_model' + LogisticRegressionModel.inkernel_model:
+    the whole hierarchical-logistic step (sigmoid-likelihood gradients,
+    median, K, contractions, clip, optimizer) in ONE kernel must track
+    the XLA warm path running log_p autodiff — for both step rules."""
+    model, batch, theta0 = _logreg_problem()
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), theta=theta0,
+        median="bisect", warm_median=True, warm_passes=6,
+    )
+    a = SVGDSampler(gd=gd_factory(), step_impl="xla", **common)
+    b = SVGDSampler(gd=gd_factory(), step_impl="fused_model",
+                    inkernel_model=model.inkernel_model,
+                    pallas_interpret=True, **common)
+    aux_a = a.run(batch, 15)
+    aux_b = b.run(batch, 15)
+    med_a = np.asarray(aux_a["median"])
+    med_b = np.asarray(aux_b["median"])
+    # Step 1 runs both searches on IDENTICAL particles: bitwise.
+    assert med_b[0] == med_a[0], (med_b[0], med_a[0])
+    np.testing.assert_allclose(med_b, med_a, rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(aux_b["log_p_mean"]), np.asarray(aux_a["log_p_mean"]),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(b.samples, a.samples, rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_fused_model_guards():
+    model, batch, theta0 = _logreg_problem()
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), gd=Adam(), theta=theta0,
+        median="bisect", warm_median=True,
+    )
+    with pytest.raises(ValueError, match="inkernel_model"):
+        SVGDSampler(**common, step_impl="fused_model")
+    with pytest.raises(ValueError, match="fused_model"):
+        SVGDSampler(**common, step_impl="fused_gram",
+                    inkernel_model=model.inkernel_model)
+
+
+def test_fused_model_vmem_gate():
+    """An in-kernel model whose operands/temporaries blow the VMEM
+    budget must be refused at trace time with a clear error, not die in
+    the remote Mosaic compile."""
+    from stein_tpu.ops.pallas_step import InKernelModel
+
+    model, batch, theta0 = _logreg_problem()
+    base = model.inkernel_model(batch)
+    fat = lambda b: InKernelModel(
+        operands=base.operands, grad_fn=base.grad_fn, const=base.const,
+        vmem_bytes=lambda n: 1 << 30,
+    )
+    s = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(), gd=Adam(), theta=theta0,
+        median="bisect", warm_median=True, step_impl="fused_model",
+        inkernel_model=fat, pallas_interpret=True,
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        s.run(batch, 2)

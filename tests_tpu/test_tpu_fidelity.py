@@ -639,3 +639,56 @@ def test_off_origin_robustness_on_chip():
     frac_bad = float(np.mean(~np.isclose(b, a, rtol=3e-3, atol=3e-3)))
     print(f"[fidelity] off-origin fused_gram flip fraction {frac_bad:.5f}")
     assert frac_bad < 0.01, frac_bad
+
+
+def test_fused_model_logreg_posterior_statistics_on_chip():
+    """The fully-fused logistic step (step_impl='fused_model': sigmoid-
+    likelihood gradients inside the kernel — the reference's Covertype
+    model as ONE kernel per step) must converge to the same posterior
+    as the all-XLA f32 path on the real chip. No closed form exists for
+    the logistic posterior, so the pin is statistical: after
+    convergence the two particle clouds must agree in posterior mean
+    (well within the posterior spread) and in per-dimension variance."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LogisticRegressionModel
+
+    rng = np.random.default_rng(23)
+    n, d, n_obs = 512, 20, 128
+    X = rng.normal(size=(n_obs, d))
+    w_true = rng.normal(size=(d, 1))
+    y = (X @ w_true + 0.5 * rng.normal(size=(n_obs, 1)) > 0).astype(
+        np.float64
+    )
+    model = LogisticRegressionModel(d, n_train=n_obs, n_batch=n_obs)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, d + 1)) * 0.1, jnp.float32)
+
+    def make(step_impl, **kw):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adam(learning_rate=5e-2), theta=theta0,
+            median="bisect", warm_median=True, step_impl=step_impl, **kw,
+        )
+
+    a = make("xla")
+    b = make("fused_model", inkernel_model=model.inkernel_model)
+    aux_a = a.run(batch, 1200)
+    aux_b = b.run(batch, 1200)
+    sa, sb = np.asarray(a.samples), np.asarray(b.samples)
+    assert np.isfinite(sb).all()
+    # log_p must have improved and track the XLA path's level.
+    lp_a = np.asarray(aux_a["log_p_mean"])
+    lp_b = np.asarray(aux_b["log_p_mean"])
+    assert lp_b[-1] > lp_b[0]
+    np.testing.assert_allclose(lp_b[-1], lp_a[-1], rtol=2e-3)
+    std_a = sa.std(axis=0)
+    mean_diff = np.abs(sa.mean(axis=0) - sb.mean(axis=0))
+    print(f"[fidelity] fused_model logreg: mean diff max "
+          f"{mean_diff.max():.3e} vs posterior std min {std_a.min():.3e}")
+    assert np.all(mean_diff < 0.5 * std_a), (
+        mean_diff / std_a
+    )
+    ratio = sb.var(axis=0) / sa.var(axis=0)
+    assert np.all(ratio > 0.6) and np.all(ratio < 1.7), ratio
