@@ -129,18 +129,17 @@ def make_sampler(X, y, theta0, suff_stats=False, glm=False,
     return sampler, batch
 
 
-def bench_jax(X, y, theta0, K=200, R=4, reps=3, measures=3,
-              **sampler_kwargs):
+def _slope_median(make, K, R, reps, measures):
     """Median of ``measures`` independent slope measurements: single
     slope readings from this tunnel can be 2-3x outliers in either
     direction (benchmarks/RESULTS.md variance caveat), and the driver
     records ONE bench.py run — the median de-noises what it sees.
     One retry on transient tunnel faults (remote_compile HTTP 500s
     happen; losing the whole metric to one hiccup is worse than a
-    loudly-logged second attempt)."""
+    loudly-logged second attempt). ``make`` -> (sampler, batch)."""
     for attempt in (1, 2):
         try:
-            sampler, batch = make_sampler(X, y, theta0, **sampler_kwargs)
+            sampler, batch = make()
             ts = sorted(
                 slope_time(sampler, batch, K=K, R=R, reps=reps)
                 for _ in range(measures)
@@ -151,6 +150,50 @@ def bench_jax(X, y, theta0, K=200, R=4, reps=3, measures=3,
                 raise
             print(f"bench: attempt 1 failed ({type(e).__name__}: "
                   f"{str(e)[:200]}); retrying once", file=sys.stderr)
+
+
+def bench_jax(X, y, theta0, K=200, R=4, reps=3, measures=3,
+              **sampler_kwargs):
+    return _slope_median(
+        lambda: make_sampler(X, y, theta0, **sampler_kwargs),
+        K, R, reps, measures,
+    )
+
+
+def bench_logreg(K=5000, R=8, reps=3, measures=3):
+    """BASELINE config #2 — the reference's flagship workload
+    (hierarchical Bayesian logistic regression at Covertype shape:
+    54 features, minibatch 50, examples/logistic_regression/main.py) —
+    through step_impl='fused_model': the WHOLE step (sigmoid-likelihood
+    gradients included) as ONE kernel
+    (LogisticRegressionModel.inkernel_model; posterior-statistics
+    agreement pinned on-chip by tests_tpu). n=1000 particles (>= the
+    reference's 100; more MXU-efficient and a harder workload)."""
+    import jax.numpy as jnp
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LogisticRegressionModel
+
+    rng = np.random.default_rng(7)
+    n, d, n_obs = 1000, 54, 50
+    Xl = rng.normal(size=(n_obs, d))
+    yl = (Xl @ rng.normal(size=(d, 1)) > 0).astype(np.float64)
+    model = LogisticRegressionModel(d, n_train=581012, n_batch=n_obs)
+    batch = {"X": jnp.asarray(Xl, jnp.float32),
+             "y": jnp.asarray(yl, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, d + 1)) * 0.1, jnp.float32)
+
+    def make():
+        sampler = SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adam(learning_rate=1e-1), theta=theta0,
+            median="bisect", median_passes=16, warm_median=True,
+            warm_passes=6, step_impl="fused_model",
+            inkernel_model=model.inkernel_model,
+        )
+        return sampler, batch
+
+    return n, _slope_median(make, K, R, reps, measures)
 
 
 def main():
@@ -206,6 +249,11 @@ def main():
         warm_passes=6, median_impl="fused",
     )
 
+    # Extra: BASELINE config #2 (Covertype-shape logistic regression)
+    # through the one-kernel fused_model step. K=5000/R=8: ~16 us step
+    # -> ~0.56 s slope numerator.
+    n_lr, t_lr = bench_logreg(K=5000, R=8, reps=3, measures=3)
+
     # Config 2: n=10240, Pallas streaming kernel + bisect median
     # (BASELINE.json config #4 — "blocked kernel-matrix tiles, on-device
     # median heuristic").
@@ -236,6 +284,8 @@ def main():
             "n1000_step_us": round(t_jax * 1e6, 2),
             "n1000_glm_updates_per_s": round(n1 / t_glm, 1),
             "n1000_glm_step_us": round(t_glm * 1e6, 2),
+            "logreg_fused_model_updates_per_s": round(n_lr / t_lr, 1),
+            "logreg_fused_model_step_us": round(t_lr * 1e6, 2),
         },
     }))
 

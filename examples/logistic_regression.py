@@ -72,6 +72,15 @@ def main():
     ap.add_argument("--precision", type=str, default="high",
                     choices=["high", "default", "highest"],
                     help="model data-matmul precision: 'high' = f32-faithful\n(default); 'default' = the TPU's native bf16-input rate\n(~6e-4 phi class, see models/distributions.py)")
+    ap.add_argument("--step-impl", type=str, default="xla",
+                    choices=["xla", "fused_gram", "fused_model"],
+                    help="'xla' (default) = reference-faithful f32 path; "
+                         "'fused_gram' = one-kernel post-gradient tail; "
+                         "'fused_model' = the WHOLE step (sigmoid-"
+                         "likelihood gradients included) as one kernel "
+                         "via LogisticRegressionModel.inkernel_model — "
+                         "the fused tails' documented precision class "
+                         "(docs/DESIGN.md)")
     args = ap.parse_args()
 
     if args.data:
@@ -95,12 +104,23 @@ def main():
     test_batch = {"X": jnp.asarray(X_test, jnp.float32),
                   "y": jnp.asarray(y_test, jnp.float32)}
 
+    fused_kw = {}
+    if args.step_impl != "xla":
+        # The fused steps carry the warm bisect median in the scan
+        # (docs/DESIGN.md); the posterior-level agreement of the
+        # in-kernel gradient path is pinned on-chip by
+        # tests_tpu::test_fused_model_logreg_posterior_statistics_on_chip.
+        fused_kw = dict(step_impl=args.step_impl, median="bisect",
+                        warm_median=True, median_impl="fused")
+        if args.step_impl == "fused_model":
+            fused_kw["inkernel_model"] = model.inkernel_model
     sampler = SVGDSampler(
         n_particles=args.n_particles,
         log_p=model.log_p,
         param_template=model.template(),
         gd=Adam(learning_rate=1e-1),
         key=jax.random.PRNGKey(args.seed),
+        **fused_kw,
     )
 
     def evaluate():

@@ -558,7 +558,7 @@ def make_epilogue_warm_step_fn(log_p, unravel_fn, gd, n_particles,
 
 
 def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, model=None):
     """Measured-best sampler options for production throughput — the
     decision tree from benchmarks/RESULTS.md as a kwargs dict to splat
     into SVGDSampler next to the model arguments:
@@ -577,7 +577,20 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     (the fused kernels are single-device); pass ``model_axis`` for a 2-D
     (particles x model) mesh, whose step tiles the model axis with its
     own XLA path. Use the scan APIs (run / train_on_batches) —
-    single-step calls are dispatch-latency-bound regardless of config."""
+    single-step calls are dispatch-latency-bound regardless of config.
+
+    ``model=`` (optional) upgrades the fused-fits branch to the
+    whole-step-in-one-kernel paths when the model object exposes the
+    hook: ``quadratic_form`` selects step_impl='fused_glm' (exact
+    algebra; feed the sampler ``model.sufficient_batch(batch)`` so the
+    statistics are not recomputed every step), else ``inkernel_model``
+    selects step_impl='fused_model' (in-kernel gradient dots at the
+    fused tails' documented precision class). quadratic_form wins when
+    both exist — exact algebra at the same single-kernel dispatch cost
+    (measured: glm 15.1 us vs fused_gram 24.7 us at n=1k/p=128;
+    fused_model 16.3 vs 18.0 us on the Covertype shape — RESULTS.md
+    r3). Models wanting f32-faithful XLA gradients should simply not
+    pass ``model=``."""
     f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
     cfg = dict(median="bisect", warm_median=True, dtype=dtype)
     large = n_particles >= 4096
@@ -603,6 +616,16 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             # 35.8 us at n=1000/p=128 (RESULTS.md round 3), same
             # tolerance class as the large-n streaming tile.
             cfg.update(step_impl="fused_gram", median_impl="fused")
+            if model is not None and hasattr(model, "quadratic_form"):
+                cfg.update(step_impl="fused_glm",
+                           quadratic_form=model.quadratic_form)
+            elif model is not None and hasattr(model, "inkernel_model"):
+                # The model's operand/temporary VMEM cost depends on
+                # the batch shape, unknown here — the sampler's gate
+                # (ops/pallas_step.fused_warm_step_tail) still refuses
+                # oversized batches loudly at trace time.
+                cfg.update(step_impl="fused_model",
+                           inkernel_model=model.inkernel_model)
             return cfg
         cfg["median_impl"] = "fused"
         if large:

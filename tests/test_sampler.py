@@ -328,6 +328,66 @@ def test_throughput_config_decision_tree():
         s.run(batch, 2)
 
 
+def test_throughput_config_model_hooks():
+    """throughput_config(model=...) upgrades the fused-fits branch to
+    the whole-step-in-one-kernel paths: quadratic_form (exact algebra)
+    wins over inkernel_model; no upgrade off the fused branch (large n,
+    non-f32, mesh); the returned config constructs and runs."""
+    from jax.sharding import Mesh
+    from stein_tpu import throughput_config
+    from stein_tpu.models import (
+        LinearRegressionModel,
+        LogisticRegressionModel,
+    )
+
+    lin = LinearRegressionModel(4)
+    cfg = throughput_config(64, 4, model=lin)
+    assert cfg["step_impl"] == "fused_glm"
+    assert cfg["quadratic_form"] == lin.quadratic_form
+
+    logreg = LogisticRegressionModel(4, n_train=100, n_batch=8)
+    cfg_lr = throughput_config(64, 5, model=logreg)
+    assert cfg_lr["step_impl"] == "fused_model"
+    assert cfg_lr["inkernel_model"] == logreg.inkernel_model
+
+    # A model exposing NEITHER hook keeps fused_gram.
+    class Bare:
+        pass
+
+    assert throughput_config(64, 4, model=Bare())["step_impl"] == \
+        "fused_gram"
+
+    # Off the fused-fits branch the model hook must be ignored (the
+    # one-kernel tails are small-n/f32/single-device only).
+    big = throughput_config(65536, 512, model=lin)
+    assert "quadratic_form" not in big and "step_impl" not in big
+    f64 = throughput_config(64, 4, model=lin, dtype=jnp.float64)
+    assert "quadratic_form" not in f64
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
+    meshed = throughput_config(64, 4, model=lin, mesh=mesh)
+    assert "quadratic_form" not in meshed
+
+    # End-to-end: both upgraded configs construct and run (interpret
+    # mode; trajectory parity is pinned by tests/test_pallas_step.py).
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(8, 4))
+    for model, cfg, y, tmpl in (
+        (lin, cfg, X @ np.ones((4, 1)), lin.template()),
+        (logreg, cfg_lr, (X @ np.ones((4, 1)) > 0).astype(np.float64),
+         logreg.template()),
+    ):
+        batch = {"X": jnp.asarray(X, jnp.float32),
+                 "y": jnp.asarray(y, jnp.float32)}
+        if cfg["step_impl"] == "fused_glm":
+            batch = model.sufficient_batch(batch)
+        s = SVGDSampler(
+            n_particles=64, log_p=model.log_p, param_template=tmpl,
+            gd=Adam(learning_rate=1e-1), pallas_interpret=True, **cfg,
+        )
+        s.run(batch, 2)
+        assert np.isfinite(np.asarray(s.samples)).all()
+
+
 def test_string_dtype_constructs_fused_paths():
     """Regression (r2 advisor): the fused-path f32 guards must normalize
     the dtype before comparing, so the docstring-advertised splat
