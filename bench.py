@@ -12,10 +12,14 @@ value / vs_baseline cover the n=1000 config (value = updates/s, vs_baseline
 encodes the reference's exact per-step semantics minus its
 n-session-round-trip overhead — i.e. a *favourable* version of the
 reference — on identical work: p=128 Bayesian linear regression).
-``extra`` carries the second BASELINE config: n=10240, Pallas streaming
-kernel + bisect median (the oracle is omitted there — one O(n^2 p) host
-step at n=10240 takes minutes and the n=1k ratio already anchors the
-comparison).
+``extra`` carries the remaining measured BASELINE workloads: n=10240
+with the Pallas streaming kernel + bisect median (config #4; the oracle
+is omitted there — one O(n^2 p) host step at n=10240 takes minutes and
+the n=1k ratio already anchors the comparison), the Covertype-shape
+logistic regression through the one-kernel fused_model step (config
+#2), the Bayesian NN regression at n=1000 (config #3), and the n=1k
+fused_glm variant. Config #5 (multi-host) is projected by
+benchmarks/scaling_model.py — one chip here.
 """
 
 import json
@@ -196,6 +200,40 @@ def bench_logreg(K=5000, R=8, reps=3, measures=3):
     return n, _slope_median(make, K, R, reps, measures)
 
 
+def bench_nn(K=2000, R=6, reps=3, measures=3):
+    """BASELINE config #3 — Bayesian NN regression (per-particle MLP
+    weights, the reference example's exact model: 1 -> 100 -> 1 ReLU,
+    p=303, minibatch 20, regression_neural_network/main.py) at n=1000
+    particles through throughput_config (XLA step + one-kernel fused
+    warm median at this p; gradients are XLA vmap-autodiff — the
+    per-particle weight tensors are outside the InKernelModel boundary,
+    docs/DESIGN.md). The reference's own n=20 config is measured in
+    benchmarks/nn_bench.py (7.8 us/step tuned)."""
+    import jax
+    import jax.numpy as jnp
+    from stein_tpu import SVGDSampler, Adam, throughput_config
+    from stein_tpu.models import BayesianNNModel
+
+    rng = np.random.default_rng(11)
+    n, n_obs, p = 1000, 20, 303
+    Xn = rng.uniform(size=(n_obs, 1))
+    yn = rng.normal(np.cos(10 * Xn) * (5 * Xn), 0.1)
+    model = BayesianNNModel(1, 100, n_obs, n_obs, prior_beta=10.0)
+    batch = {"X": jnp.asarray(Xn, jnp.float32),
+             "y": jnp.asarray(yn, jnp.float32)}
+
+    def make():
+        sampler = SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adam(learning_rate=1e-1, decay=0.999),
+            key=jax.random.PRNGKey(3), **throughput_config(n, p),
+        )
+        return sampler, batch
+
+    return n, _slope_median(make, K, R, reps, measures)
+
+
 def main():
     # Config 1 (primary): n=1000, XLA kernel, sort-free bisect median.
     n1 = 1000
@@ -254,6 +292,11 @@ def main():
     # -> ~0.56 s slope numerator.
     n_lr, t_lr = bench_logreg(K=5000, R=8, reps=3, measures=3)
 
+    # Extra: BASELINE config #3 (Bayesian NN regression, per-particle
+    # MLP weights) at n=1000. K=2000/R=6: ~96 us step -> ~0.96 s
+    # slope numerator.
+    n_nn, t_nn = bench_nn(K=2000, R=6, reps=3, measures=3)
+
     # Config 2: n=10240, Pallas streaming kernel + bisect median
     # (BASELINE.json config #4 — "blocked kernel-matrix tiles, on-device
     # median heuristic").
@@ -286,6 +329,8 @@ def main():
             "n1000_glm_step_us": round(t_glm * 1e6, 2),
             "logreg_fused_model_updates_per_s": round(n_lr / t_lr, 1),
             "logreg_fused_model_step_us": round(t_lr * 1e6, 2),
+            "nn_updates_per_s": round(n_nn / t_nn, 1),
+            "nn_step_us": round(t_nn * 1e6, 2),
         },
     }))
 
