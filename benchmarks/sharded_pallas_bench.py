@@ -87,8 +87,8 @@ def main():
                       "n": n, "max_rel_err_vs_single": err}))
     assert err < 2e-4, err
 
-    t_single = slope_time(single, batch, K=100, R=6, reps=4)
-    t_sharded = slope_time(sharded, batch, K=100, R=6, reps=4)
+    t_single = slope_time(single, batch, K=200, R=6, reps=4)
+    t_sharded = slope_time(sharded, batch, K=200, R=6, reps=4)
     print(json.dumps({
         "bench": "sharded_pallas_step", "n": n,
         "single_ms": round(t_single * 1e3, 4),
@@ -113,8 +113,8 @@ def main():
     print(json.dumps({"bench": "sharded_warm_correctness", "n": n,
                       "max_rel_err_vs_single_warm": werr}))
     assert werr < 2e-4, werr
-    tw_single = slope_time(warm_single, batch, K=100, R=6, reps=4)
-    tw_sharded = slope_time(warm_sharded, batch, K=100, R=6, reps=4)
+    tw_single = slope_time(warm_single, batch, K=200, R=6, reps=4)
+    tw_sharded = slope_time(warm_sharded, batch, K=200, R=6, reps=4)
     print(json.dumps({
         "bench": "sharded_warm_pallas_step", "n": n,
         "single_warm_ms": round(tw_single * 1e3, 4),
@@ -125,9 +125,16 @@ def main():
 
     # Ring layout at production parity (r3): warm bisect median (ring-
     # assembled block) + per-rotation Pallas tiles. On a 1-device mesh
-    # the ring is degenerate (one rotation), so this measures the
-    # compiled ring machinery's overhead vs the warm all-gather path —
-    # the multi-device behaviour is the scaling model's domain.
+    # the ring is degenerate (one rotation, identity ppermute), so this
+    # measures the compiled ring machinery's overhead vs the warm
+    # all-gather path — the multi-device behaviour is the scaling
+    # model's domain. NOTE (r3 review): until the dispatch fix in
+    # parallel/sharded.py, comm='ring'+warm_median silently compiled
+    # the all-gather body, so the first r3 run of this bench compared
+    # two identical programs (its 66% "ring overhead" was slope noise
+    # from the then-K=100 numerators); the ring-collective dispatch is
+    # now pinned by tests/test_sharded.py::
+    # test_ring_warm_lowers_to_ring_collectives.
     ring_sampler, _ = make_sampler(
         X, y, theta0, mesh=particle_mesh(jax.devices()[:1]),
         comm="ring", warm_median=True, warm_passes=8, **opts)
@@ -144,7 +151,7 @@ def main():
     print(json.dumps({"bench": "ring_warm_correctness", "n": n,
                       "max_rel_err_vs_single_warm": rerr}))
     assert rerr < 2e-4, rerr
-    tr = slope_time(ring_sampler, batch, K=100, R=6, reps=4)
+    tr = slope_time(ring_sampler, batch, K=200, R=6, reps=4)
     print(json.dumps({
         "bench": "ring_warm_pallas_step", "n": n,
         "ring_warm_1dev_ms": round(tr * 1e3, 4),

@@ -44,6 +44,11 @@ from .utils.hostio import host_array, host_scalar  # noqa: E402  (re-export)
 # median='bisect' / throughput_config). 2^27 B = 128 MB -> n > 5792 in f32.
 EXACT_MEDIAN_WARN_BYTES = 2 ** 27
 
+# The one list of step_impl spellings (r3 review: the mesh branch kept
+# its own literal copy, which would drift as variants are added).
+_FUSED_STEP_IMPLS = ("fused", "fused_gram", "fused_glm", "fused_model")
+_STEP_IMPLS = ("xla", "epilogue") + _FUSED_STEP_IMPLS
+
 
 class SVGDState(NamedTuple):
     """Complete mutable state of the sampler — a checkpointable pytree."""
@@ -908,9 +913,7 @@ class SVGDSampler:
                     "TPU-native float); use median_impl='xla' with "
                     f"dtype={dtype}"
                 )
-            _fused_steps = ("fused", "fused_gram", "fused_glm",
-                            "fused_model")
-            if step_impl not in ("xla", "epilogue") + _fused_steps:
+            if step_impl not in _STEP_IMPLS:
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl == "epilogue":
                 if not warm_median:
@@ -951,7 +954,7 @@ class SVGDSampler:
                     "inkernel_model is consumed only by "
                     "step_impl='fused_model'"
                 )
-            if step_impl in _fused_steps:
+            if step_impl in _FUSED_STEP_IMPLS:
                 from .ops.pallas_step import (
                     FUSED_STEP_VMEM_BUDGET,
                     fused_step_fits,
@@ -992,7 +995,7 @@ class SVGDSampler:
                         "warm_median=True requires median='bisect' and "
                         "the default RBF kernel"
                     )
-                if step_impl in _fused_steps:
+                if step_impl in _FUSED_STEP_IMPLS:
                     self._warm_step_fn, self._warm_init_med = \
                         make_fused_warm_step_fn(
                             log_p, self.unravel_fn, gd,
@@ -1053,13 +1056,19 @@ class SVGDSampler:
                     "warm search psums counts across shards; the fused "
                     "kernel cannot contain a collective)"
                 )
-            if step_impl not in ("xla", "fused", "fused_gram",
-                                 "fused_glm", "fused_model", "epilogue"):
+            if step_impl not in _STEP_IMPLS:
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
             if step_impl != "xla":
                 raise ValueError(
                     f"step_impl={step_impl!r} is single-device only (the tail "
                     "kernel cannot contain the mesh collectives)"
+                )
+            if quadratic_form is not None or inkernel_model is not None:
+                raise ValueError(
+                    "quadratic_form=/inkernel_model= are consumed only by "
+                    "the single-device step_impl='fused_glm'/'fused_model' "
+                    "kernels; the sharded steps compute gradients in XLA "
+                    "(drop the hook or drop the mesh)"
                 )
             if warm_median:
                 if median != "bisect" or kernel is not None:

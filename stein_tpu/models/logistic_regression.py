@@ -146,9 +146,15 @@ class LogisticRegressionModel:
             operands=(X_pad, y_row, w_mask, la_onehot),
             grad_fn=grad_fn,
             const=const,
-            # grad_fn materialises ~3 [n, N]-class temporaries (logits,
-            # sigmoid, sce) on top of the operands.
-            vmem_bytes=lambda n: ops_bytes + 3 * 4 * n * n_obs,
+            # Conservative live-set estimate (r3 review): the [n, N]
+            # elementwise chain (logits, exp, sigmoid, residual, the
+            # sce abs/exp/log1p terms) is ~6 concurrent [n, N] buffers
+            # if Mosaic materialises rather than fuses them, plus ~2
+            # [n, p] temporaries (w, the grad combine). The gate exists
+            # to turn opaque remote VMEM compile failures into a loud
+            # ValueError — over-gating slightly is the safe direction.
+            vmem_bytes=lambda n: (ops_bytes + 6 * 4 * n * n_obs
+                                  + 2 * 4 * n * p),
         )
 
     def log_p(self, params, batch):

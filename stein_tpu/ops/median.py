@@ -73,32 +73,40 @@ def _row_block_sq_dists(theta_rows, theta, rowsq_rows, rowsq):
     )
 
 
-def row_subsample_block(theta, max_rows=512):
-    """THE single-device strided-row distance block: D[idx, :] for the
-    deterministic subset idx = arange(max_rows) * (n // max_rows) (all
-    rows when n <= max_rows). One copy of the subsample policy, shared by
-    every single-device median entry point (and api's fused warm path),
-    so they provably count bitwise the same values — the single-device
+def _subsample_idx(n, max_rows):
+    """THE single-device strided-row subsample policy:
+    idx = arange(max_rows) * (n // max_rows), or None when every row is
+    kept (n <= max_rows). The ONE copy of the policy (r3 review:
+    row_subsample_block / subsample_rows / _strided_rows each carried
+    their own, which could silently drift apart and break the bitwise
+    median contract between step_impl variants) — every single-device
+    median entry point derives its rows from here; the single-device
     analogue of _local_row_idx."""
-    n = theta.shape[0]
-    rowsq = jnp.sum(theta * theta, axis=1)
     if n <= max_rows:
-        return _row_block_sq_dists(theta, theta, rowsq, rowsq)
+        return None
     stride = n // max_rows
-    idx = jnp.arange(max_rows) * stride
+    return jnp.arange(max_rows) * stride
+
+
+def row_subsample_block(theta, max_rows=512):
+    """The strided-row distance block D[idx, :] for _subsample_idx's
+    deterministic subset (all rows when n <= max_rows), shared by every
+    single-device median entry point (and api's fused warm path), so
+    they provably count bitwise the same values."""
+    rowsq = jnp.sum(theta * theta, axis=1)
+    idx = _subsample_idx(theta.shape[0], max_rows)
+    if idx is None:
+        return _row_block_sq_dists(theta, theta, rowsq, rowsq)
     return _row_block_sq_dists(theta[idx], theta, rowsq[idx], rowsq)
 
 
 def subsample_rows(theta, max_rows=512):
-    """The exact rows row_subsample_block's policy selects, WITHOUT the
-    distance block — for callers that compute the block elsewhere (the
-    fused_gram step tail computes it in-kernel). Returns None when every
-    row is kept (n <= max_rows)."""
-    n = theta.shape[0]
-    if n <= max_rows:
-        return None
-    stride = n // max_rows
-    return theta[jnp.arange(max_rows) * stride]
+    """The exact rows _subsample_idx selects, WITHOUT the distance
+    block — for callers that compute the block elsewhere (the fused_gram
+    step tail computes it in-kernel). Returns None when every row is
+    kept (n <= max_rows)."""
+    idx = _subsample_idx(theta.shape[0], max_rows)
+    return None if idx is None else theta[idx]
 
 
 def subsampled_sq_dist_median(theta, max_rows=512):
@@ -113,12 +121,9 @@ def subsampled_sq_dist_median(theta, max_rows=512):
 def _strided_rows(D, max_rows):
     """Deterministic strided row subsample of a materialised D — the same
     rows (hence bitwise the same values, given equal matmul precision) as
-    the block the theta-based entry points compute."""
-    n = D.shape[0]
-    if n <= max_rows:
-        return D
-    stride = n // max_rows
-    return D[jnp.arange(max_rows) * stride]
+    the block the theta-based entry points compute (_subsample_idx)."""
+    idx = _subsample_idx(D.shape[0], max_rows)
+    return D if idx is None else D[idx]
 
 
 def bisect_median_on_D(D, max_rows=512, passes=30):

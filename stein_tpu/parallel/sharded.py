@@ -636,7 +636,7 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     aux_specs = {"phi_norm": P(), "log_p_mean": P(), "h2": P(), "median": P()}
 
     warm_step_fn = jax.shard_map(
-        spmd_warm_step,
+        spmd_warm_ring_step if comm == "ring" else spmd_warm_step,
         mesh=mesh,
         in_specs=(carry_specs, P()),
         out_specs=(carry_specs, aux_specs),
@@ -644,6 +644,14 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
     )
 
     def init_spmd(theta_loc):
+        # The cold seed honours the comm mode too: ring circulates
+        # column blocks (per-device footprint stays O(n_loc x p)) where
+        # all_gather materialises the full [n, p] block once.
+        if comm == "ring":
+            return ring_bisect_median(
+                theta_loc, axis,
+                max_rows=median_max_rows, passes=median_passes,
+            )
         theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
         return sharded_bisect_median(
             theta_loc, theta_all, axis,

@@ -463,6 +463,64 @@ def test_ring_warm_matches_single_warm():
 
 
 @requires_8_devices
+def test_mesh_rejects_model_hooks():
+    """Regression (r3 review): quadratic_form=/inkernel_model= on a mesh
+    were silently IGNORED (XLA autodiff ran instead) — they must fail
+    loudly like every other option the sharded steps cannot honour."""
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
+        mesh=mesh,
+    )
+    with pytest.raises(ValueError, match="single-device"):
+        SVGDSampler(**common, quadratic_form=model.quadratic_form)
+    with pytest.raises(ValueError, match="single-device"):
+        SVGDSampler(**common, inkernel_model=lambda batch: None)
+
+
+@requires_8_devices
+def test_ring_warm_lowers_to_ring_collectives():
+    """Regression (r3 review): comm='ring' + warm_median compiled the
+    ALL-GATHER body — the bug was invisible to every parity test because
+    the two paths are numerically identical, so this pins the DISPATCH
+    structurally: the lowered ring warm step must circulate blocks with
+    collective_permute (ppermute) and must never all-gather the [n, p]
+    particle block; the all_gather variant must show the reverse."""
+    theta0, model, batch = _linreg()
+    mesh = particle_mesh(jax.devices()[:8])
+    samplers = {}
+    for comm in ("ring", "all_gather"):
+        _, samplers[comm] = _make_pair(
+            theta0, model, lambda: Adam(learning_rate=1e-1), mesh,
+            median="bisect", warm_median=True, warm_passes=8, comm=comm,
+        )
+
+    def lowered(s):
+        med0 = jnp.asarray(0.5, s.state.particles.dtype)
+        return jax.jit(s._warm_step_fn).lower(
+            (s.state, med0), batch
+        ).as_text()
+
+    ring_txt = lowered(samplers["ring"])
+    ag_txt = lowered(samplers["all_gather"])
+    assert "collective_permute" in ring_txt
+    assert "all_gather" not in ring_txt
+    assert "all_gather" in ag_txt
+    assert "collective_permute" not in ag_txt
+
+    # The cold seed honours the comm mode too (r3 review: it
+    # all-gathered the full particle block even in ring mode).
+    init_ring = samplers["ring"]._warm_init_med.lower(
+        samplers["ring"].state.particles
+    ).as_text()
+    assert "collective_permute" in init_ring
+    assert "all_gather" not in init_ring
+
+
+@requires_8_devices
 def test_ring_pallas_matches_all_gather_pallas():
     """comm='ring' + kernel_impl='pallas' (r3): per-rotation [n_loc,
     n_loc] tiles through the fused streaming kernel track the all-gather
@@ -507,6 +565,12 @@ def test_ring_warm_pallas_matches_single():
     )
     single.run(batch, 5)
     ring.run(batch, 5)
+    # f32-class tolerance: the ring body accumulates column blocks per
+    # ppermute rotation, a different fp order than the single-device
+    # tile (same class as test_ring_pallas_matches_all_gather_pallas).
+    # The original rtol=1e-6 was calibrated while comm='ring' silently
+    # compiled the all-gather body (r3 review finding) — the real ring
+    # step is ~2.5e-6 off after 5 steps.
     np.testing.assert_allclose(
-        ring.samples, single.samples, rtol=1e-6, atol=1e-9
+        ring.samples, single.samples, rtol=1e-5, atol=1e-8
     )
