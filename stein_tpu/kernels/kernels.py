@@ -55,6 +55,26 @@ class InverseMultiquadricKernel:
     c: float = 1.0
     beta: float = -0.5
 
+    def __post_init__(self):
+        # Loud construction-time guards (r3 review): beta >= 0 flips
+        # W's sign — repulsion becomes attraction and the sampler would
+        # silently sample the wrong posterior geometry (the same
+        # failure class the exact-type RBF dispatch in api.py prevents);
+        # c == 0 puts base 0^beta = inf on the diagonal (D_ii = 0) and
+        # every downstream quantity goes NaN with no explanation.
+        if not self.beta < 0.0:
+            raise ValueError(
+                f"InverseMultiquadricKernel needs beta < 0 (got "
+                f"{self.beta}): beta >= 0 makes the repulsive weights "
+                "W <= 0 — that is a multiquadric, not an IMQ Stein "
+                "kernel"
+            )
+        if self.c == 0.0:
+            raise ValueError(
+                "InverseMultiquadricKernel needs c != 0: c = 0 makes "
+                "k(x, x) = 0^beta = inf on the diagonal"
+            )
+
     def weights(self, D, h2):
         base = self.c ** 2 + D / h2
         K = base ** self.beta
@@ -76,9 +96,14 @@ class InverseMultiquadricKernel:
 def generic_svgd_phi(kernel, theta, grads, median_fn=exact_median):
     """SVGD direction phi = (K @ grads + dK) / n for any weights-kernel.
 
-    Generalises ops/rbf.svgd_phi: K@grads and W@theta run as one
-    block-diagonal MXU contraction via concatenation where possible; the
-    RBF fused path remains the fast default in the sampler.
+    Generalises ops/rbf.svgd_phi, as two [n,n]x[n,p] contractions
+    (K@grads and W@theta). Unlike the RBF fast path — whose single
+    [n,n]x[n,2p] contraction shares ONE lhs K across both rhs
+    (rbf.py) — a generic kernel has two DIFFERENT lhs matrices, so the
+    only single-contraction form is [K|-W] @ [grads;theta], which costs
+    an extra [n,2n] concat buffer in HBM for zero FLOP savings; two
+    matmuls are the right call here. The RBF fused path remains the
+    fast default in the sampler.
     """
     n, p = theta.shape
     D = rbf.pairwise_sq_dists(theta)

@@ -67,22 +67,32 @@ def restore_checkpoint(path, like_state):
     template."""
     data = np.load(path)
     like_leaves, treedef = jax.tree_util.tree_flatten(like_state)
-    if "__meta__" in data.files:
-        version, signature = data["__meta__"]
-        if int(version) != CHECKPOINT_FORMAT_VERSION:
-            raise ValueError(
-                f"checkpoint format version {version} != supported "
-                f"{CHECKPOINT_FORMAT_VERSION}"
-            )
-        want = _state_signature(like_state)
-        if signature != want:
-            raise ValueError(
-                "checkpoint structure does not match the template state:\n"
-                f"  checkpoint: {signature}\n"
-                f"  template:   {want}\n"
-                "(a refactor reordered or renamed state leaves; restoring "
-                "by position would be silently wrong)"
-            )
+    if "__meta__" not in data.files:
+        # r3 review: silently skipping validation here restored
+        # pre-v2 / truncated / foreign npz files purely by position —
+        # exactly the silent leaf-swap failure the signature exists to
+        # reject (the module docstring's guarantee).
+        raise ValueError(
+            f"checkpoint {path} has no __meta__ record — not a "
+            f"stein_tpu v{CHECKPOINT_FORMAT_VERSION} checkpoint (or "
+            "truncated); positional restore without the structural "
+            "signature would be silently wrong"
+        )
+    version, signature = data["__meta__"]
+    if int(version) != CHECKPOINT_FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format version {version} != supported "
+            f"{CHECKPOINT_FORMAT_VERSION}"
+        )
+    want = _state_signature(like_state)
+    if signature != want:
+        raise ValueError(
+            "checkpoint structure does not match the template state:\n"
+            f"  checkpoint: {signature}\n"
+            f"  template:   {want}\n"
+            "(a refactor reordered or renamed state leaves; restoring "
+            "by position would be silently wrong)"
+        )
     n_leaf = len([f for f in data.files if f.startswith("leaf_")])
     if n_leaf != len(like_leaves):
         raise ValueError(

@@ -35,16 +35,34 @@ class MetricsLogger:
         self._csv_file = None
         self._csv_writer = None
         self._last_time = None
+        self._last_step = None
         self.history = []
 
     def record(self, step, aux):
+        # Honest timing columns (r3 review: the old single 'step_time_s'
+        # column recorded the INTERVAL between record() calls, which for
+        # chunked callers — e.g. examples/production_run.py recording
+        # once per checkpoint — was ~chunk_size x the real step time plus
+        # checkpoint/eval overhead). interval_s keeps that wall-clock
+        # meaning under its real name; avg_step_time_s divides by the
+        # recorded step delta (still includes any caller overhead inside
+        # the interval — per-step device time belongs to bench.py's
+        # slope method, not a host-side logger).
         now = time.perf_counter()
-        step_time = None if self._last_time is None else now - self._last_time
+        step = int(step)
+        interval = None if self._last_time is None else now - self._last_time
+        avg_step = (
+            interval / (step - self._last_step)
+            if interval is not None and self._last_step is not None
+            and step > self._last_step else None
+        )
         self._last_time = now
+        self._last_step = step
         from .hostio import host_scalar
         row = {
-            "step": int(step),
-            "step_time_s": step_time,
+            "step": step,
+            "interval_s": interval,
+            "avg_step_time_s": avg_step,
             "phi_norm": host_scalar(aux["phi_norm"]),
             "h2": host_scalar(aux["h2"]),
             "log_p_mean": (host_scalar(aux["log_p_mean"])
@@ -84,9 +102,9 @@ class MetricsLogger:
             self._csv_file.flush()
         if self.log_every and step % self.log_every == 0:
             logger.info(
-                "step=%d phi_norm=%.4g h2=%.4g log_p_mean=%.6g time=%s",
+                "step=%d phi_norm=%.4g h2=%.4g log_p_mean=%.6g interval=%s",
                 row["step"], row["phi_norm"], row["h2"], row["log_p_mean"],
-                f"{step_time:.4f}s" if step_time is not None else "n/a",
+                f"{interval:.4f}s" if interval is not None else "n/a",
             )
 
     def close(self):

@@ -71,10 +71,23 @@ def train_with_recovery(sampler, n_iters, make_batches, ckpt_path,
             probe = host_scalar(jnp.sum(sampler.state.particles))
             if not (math.isfinite(probe)
                     and math.isfinite(host_scalar(aux["phi_norm"][-1]))):
+                # r3 review: only claim a resumable checkpoint when one
+                # was actually written (resumed run or >= 1 completed
+                # chunk) — divergence in the FIRST chunk of a fresh run
+                # has nothing to resume from, and pointing an operator
+                # at a fictional file makes the restart silently replay
+                # the same divergence as a brand-new run.
+                ckpt_note = (
+                    f"last good checkpoint at {ckpt_path} (step {done})"
+                    if exists or executed > 0 else
+                    f"no checkpoint was written yet ({ckpt_path} does "
+                    "not exist — divergence in the first chunk of a "
+                    "fresh run; fix the model/hyperparameters before "
+                    "restarting)"
+                )
                 raise FloatingPointError(
                     f"SVGD diverged (non-finite state) in steps "
-                    f"[{done}, {done + k}); last good checkpoint at "
-                    f"{ckpt_path} (step {done})"
+                    f"[{done}, {done + k}); {ckpt_note}"
                 )
         _atomic_save(ckpt_path, sampler.state)
         executed += k

@@ -136,7 +136,13 @@ def test_metrics_logger(tmp_path):
         m.record(step, aux)
     m.close()
     assert len(m.history) == 3
-    assert m.history[1]["step_time_s"] is not None
+    assert m.history[1]["interval_s"] is not None
+    # Per-step average = interval / step delta (r3 review: the old
+    # single column was the raw interval mislabeled as a step time).
+    assert m.history[1]["avg_step_time_s"] == pytest.approx(
+        m.history[1]["interval_s"]
+    )
+    assert m.history[0]["avg_step_time_s"] is None
     with open(csv_path) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 4  # header + 3 rows
@@ -200,13 +206,51 @@ def test_recovery_divergence_detection(tmp_path):
         idx = (np.arange(k)[:, None] + start + np.arange(10)) % X.shape[0]
         return {"X": jnp.asarray(X[idx]), "y": jnp.asarray(y[idx])}
 
-    with pytest.raises(FloatingPointError):
+    with pytest.raises(FloatingPointError, match="last good checkpoint"):
         train_with_recovery(a, 9, make_batches, ckpt, ckpt_every=3)
     # The checkpoint holds the last GOOD state (step 3, finite).
     b, _, _, _ = _setup(seed=11)
     b.restore(ckpt)
     assert int(b.state.step) == 3
     assert np.isfinite(b.samples).all()
+
+
+def test_recovery_first_chunk_divergence_names_no_checkpoint(tmp_path):
+    """Regression (r3 review): divergence in the FIRST chunk of a fresh
+    run must not claim a 'last good checkpoint' — none was written, and
+    an operator restarting against the fictional path would silently
+    start a brand-new run that replays the divergence."""
+    from stein_tpu.utils.recovery import train_with_recovery
+
+    ckpt = str(tmp_path / "fresh.npz")
+    a, batch, model, theta0 = _setup(seed=12)
+
+    def make_batches(start, k):
+        return {"X": jnp.full((k, 5, 3), jnp.nan),
+                "y": jnp.zeros((k, 5, 1))}
+
+    with pytest.raises(FloatingPointError,
+                       match="no checkpoint was written yet"):
+        train_with_recovery(a, 9, make_batches, ckpt, ckpt_every=3)
+    import os
+    assert not os.path.exists(ckpt)
+
+
+def test_restore_rejects_checkpoint_without_meta(tmp_path):
+    """Regression (r3 review): an npz with leaf_* keys but no __meta__
+    (pre-v2 / truncated / foreign file) must be rejected, not restored
+    positionally with only shape checks — same-shaped leaves that
+    swapped positions would restore silently wrong."""
+    from stein_tpu.utils.checkpoint import restore_checkpoint
+
+    a, batch, _, _ = _setup()
+    a.train_on_batch(batch)
+    leaves, _ = jax.tree_util.tree_flatten(a.state)
+    path = str(tmp_path / "nometa.npz")
+    np.savez(path, **{f"leaf_{i}": np.asarray(l)
+                      for i, l in enumerate(leaves)})
+    with pytest.raises(ValueError, match="__meta__"):
+        restore_checkpoint(path, a.state)
 
 
 import pytest

@@ -140,3 +140,19 @@ def test_rbf_subclass_routes_to_generic_path():
         rbf_s.train_on_batch(batch)
     np.testing.assert_allclose(sub.samples, imq.samples, rtol=1e-12)
     assert np.abs(sub.samples - rbf_s.samples).max() > 1e-10
+
+
+def test_imq_invalid_params_raise():
+    """Regression (r3 review): beta >= 0 flips the repulsion into
+    attraction (silently wrong posterior geometry) and c == 0 puts inf
+    on the kernel diagonal — both must fail at construction."""
+    import pytest
+    from stein_tpu.kernels import InverseMultiquadricKernel
+
+    with pytest.raises(ValueError, match="beta < 0"):
+        InverseMultiquadricKernel(beta=0.5)
+    with pytest.raises(ValueError, match="beta < 0"):
+        InverseMultiquadricKernel(beta=0.0)
+    with pytest.raises(ValueError, match="c != 0"):
+        InverseMultiquadricKernel(c=0.0)
+    InverseMultiquadricKernel(c=-1.0)  # c enters as c^2: any nonzero ok
