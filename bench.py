@@ -204,11 +204,13 @@ def bench_nn(K=2000, R=6, reps=3, measures=3):
     """BASELINE config #3 — Bayesian NN regression (per-particle MLP
     weights, the reference example's exact model: 1 -> 100 -> 1 ReLU,
     p=303, minibatch 20, regression_neural_network/main.py) at n=1000
-    particles through throughput_config (XLA step + one-kernel fused
-    warm median at this p; gradients are XLA vmap-autodiff — the
-    per-particle weight tensors are outside the InKernelModel boundary,
-    docs/DESIGN.md). The reference's own n=20 config is measured in
-    benchmarks/nn_bench.py (7.8 us/step tuned)."""
+    particles through throughput_config (p=303 exceeds the fused tail's
+    VMEM gate, so the large-p branch picks the streaming Pallas tile +
+    fused warm median — benchmarks/nn_phi_probe.py; gradients are XLA
+    vmap-autodiff — per-particle weight tensors are outside the
+    InKernelModel boundary, docs/DESIGN.md). The reference's own n=20
+    config is measured in benchmarks/nn_bench.py (7.8 us/step
+    tuned)."""
     import jax
     import jax.numpy as jnp
     from stein_tpu import SVGDSampler, Adam, throughput_config

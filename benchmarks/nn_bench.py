@@ -14,8 +14,9 @@ minibatch 20, Adam lr=1e-1 decay=0.999. Three configs:
   gradients stay XLA vmap-autodiff — the InKernelModel protocol
   deliberately excludes per-particle weight tensors, docs/DESIGN.md);
 - n=1000 through throughput_config(1000, 303) — the fused tail does NOT
-  fit at p=303 (VMEM gate), so this is the XLA kernel + the one-kernel
-  fused warm median.
+  fit at p=303 (VMEM gate), so the large-p branch selects the streaming
+  Pallas tile (blk 256) + the one-kernel fused warm median (measured
+  7% over the XLA phi at this shape, benchmarks/nn_phi_probe.py).
 
 Prints one JSON line per config plus a summary. Slope numerators are
 kept >= ~0.4 s (benchmarks/RESULTS.md r3 "slope noise" lesson).

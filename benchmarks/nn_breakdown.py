@@ -41,7 +41,9 @@ from benchmarks.nn_bench import make_problem, make_sampler
 def slope_scan(fn, carry, K, R=6, reps=3):
     """Two-count slope of a jitted lax.scan of ``fn`` over K steps.
     ``fn(carry) -> carry`` (pure); returns seconds/step."""
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
     def run(c, k):
         return jax.lax.scan(lambda cc, _: (fn(cc), None), c, None,
                             length=k)[0]

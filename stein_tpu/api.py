@@ -576,7 +576,9 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     search everywhere; the fully-fused step tail with the in-kernel
     Gram (step_impl='fused_gram') when (n, p) fits VMEM (single device,
     f32); otherwise the single-kernel fused median, plus the Pallas
-    streaming tile at large n. The fused kernels and the
+    streaming tile at large n — or at large p (>= 256) where the tile
+    beats the XLA phi even at small n (the NN shape,
+    benchmarks/nn_phi_probe.py). The fused kernels and the
     Pallas tile compute in f32, so non-f32 dtypes keep the all-XLA path
     at the requested precision. Mesh configs stay on the psum'd searches
     (the fused kernels are single-device); pass ``model_axis`` for a 2-D
@@ -635,6 +637,16 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
         cfg["median_impl"] = "fused"
         if large:
             cfg.update(kernel_impl="pallas", pallas_block=1024)
+        elif n_params >= 256:
+            # Fused tail doesn't fit and p is large: the streaming tile
+            # beats the XLA phi here — its dots run at the fixed
+            # in-kernel rate and D never round-trips HBM, while the XLA
+            # path's HIGHEST [n, p] Gram + [n,n]x[n,2p] HIGH
+            # contractions scale with p. Measured at the Bayesian-NN
+            # shape (n=1000, p=303): 89.6 vs 96.5 us same-session
+            # (benchmarks/nn_phi_probe.py; at p=128 the XLA path wins
+            # small n, hence the p gate).
+            cfg.update(kernel_impl="pallas", pallas_block=256)
     return cfg
 
 

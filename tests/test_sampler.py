@@ -283,6 +283,12 @@ def test_throughput_config_decision_tree():
     assert cfg["median_impl"] == "fused"
     assert cfg["median_max_rows"] == 128
     assert "step_impl" not in cfg
+    # Small n but large p (fused tail exceeds its VMEM gate): the
+    # streaming tile beats the XLA phi (benchmarks/nn_phi_probe.py,
+    # the Bayesian-NN shape).
+    cfg = throughput_config(1000, 303)
+    assert cfg.get("kernel_impl") == "pallas"
+    assert cfg["pallas_block"] == 256 and "step_impl" not in cfg
     # Non-f32 (incl. string spellings): no fused/Pallas f32 kernels at
     # any size — the all-XLA path keeps the requested precision.
     for dt in (jnp.float64, "float64"):
@@ -316,6 +322,7 @@ def test_throughput_config_decision_tree():
         ), cfg
 
     construct(4096, throughput_config(4096, 4))          # large-n branch
+    construct(1000, throughput_config(1000, 303), p=303)  # large-p branch
     construct(8192, throughput_config(8192, 4, mesh=mesh))      # 1-D mesh
     construct(8192, throughput_config(8192, 4, mesh=mesh2d,
                                       model_axis="model"))      # 2-D mesh
