@@ -63,6 +63,14 @@ def main():
                     help="rate of the Gamma precision priors; the reference "
                          "value 0.01 makes the ARD-collapse mode dominate "
                          "(see module docstring) — 10 lets the fit mode win")
+    ap.add_argument("--tuned", action="store_true",
+                    help="splat throughput_config(n, p) over the sampler "
+                         "(measured-best production options: at this "
+                         "workload's p=303 the large-p branch selects the "
+                         "streaming Pallas tile + fused warm median, "
+                         "~11M updates/s at n=1000 — "
+                         "benchmarks/nn_phi_probe.py; default keeps the "
+                         "reference-faithful XLA step)")
     args = ap.parse_args()
 
     X_train, y_train = generate_data(args.seed)
@@ -75,12 +83,26 @@ def main():
                   "y": jnp.asarray(y_train, jnp.float32)}
 
     rng = np.random.default_rng(args.seed + 1)
+    tuned_kw = {}
+    if args.tuned:
+        from stein_tpu import throughput_config
+        n_params = sum(
+            int(np.prod(np.shape(leaf)))
+            for leaf in jax.tree_util.tree_leaves(model.template())
+        )
+        tuned_kw = throughput_config(args.n_particles, n_params)
+        if jax.default_backend() != "tpu":
+            # The tuned configs select Pallas kernels, which off-TPU
+            # only run in interpret mode (slow but correct) — keeps
+            # --tuned demonstrable on CPU.
+            tuned_kw["pallas_interpret"] = True
     sampler = SVGDSampler(
         n_particles=args.n_particles,
         log_p=model.log_p,
         param_template=model.template(),
         gd=Adam(learning_rate=1e-1, decay=0.999),
         key=jax.random.PRNGKey(args.seed),
+        **tuned_kw,
     )
 
     start = time.time()

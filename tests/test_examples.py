@@ -77,6 +77,19 @@ def test_regression_neural_network_mse_falls(capsys, monkeypatch):
     assert final < 4.7
 
 
+def test_regression_neural_network_tuned_flag(capsys, monkeypatch):
+    """--tuned splats throughput_config over the sampler (fused_gram at
+    this tiny shape, interpret mode on CPU) and must learn the same."""
+    out = _run(
+        "examples/regression_neural_network.py",
+        ["--n-iters", "200", "--n-particles", "4", "--n-hidden", "8",
+         "--n-prog", "100", "--tuned"], capsys, monkeypatch)
+    first = _floats(_line(out, "Iteration: 0."))[-1]
+    final = _floats(_line(out, "Final MSE:"))[0]
+    assert np.isfinite(final)
+    assert final < first - 0.05, f"MSE {first} -> {final}: did not learn"
+
+
 def test_production_run_recovers_and_reports(capsys, monkeypatch, tmp_path):
     out = _run(
         "examples/production_run.py",
