@@ -614,6 +614,12 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             # 1-D particle meshes only (the 2-D step is XLA-tiled), and
             # the streaming tile computes in f32.
             cfg.update(kernel_impl="pallas", pallas_block=1024)
+        elif f32 and n_params >= 256:
+            # The large-p rule holds on the mesh too: the rect tile
+            # beats the XLA rows at the NN shape on a 1-device mesh
+            # (98.2 vs 106.4 us same-session,
+            # benchmarks/nn_mesh_probe.py).
+            cfg.update(kernel_impl="pallas", pallas_block=256)
         return cfg
     if f32:
         from .ops.pallas_step import fused_step_fits

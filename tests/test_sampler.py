@@ -303,6 +303,12 @@ def test_throughput_config_decision_tree():
     cfg = throughput_config(8192, 64, mesh=mesh)
     assert "median_impl" not in cfg and "step_impl" not in cfg
     assert cfg["mesh"] is mesh and cfg.get("kernel_impl") == "pallas"
+    # Mesh large-p rule (benchmarks/nn_mesh_probe.py): small n but
+    # p >= 256 takes the rect tile; small n AND small p stays XLA.
+    cfg = throughput_config(1000, 303, mesh=mesh)
+    assert cfg.get("kernel_impl") == "pallas"
+    assert cfg["pallas_block"] == 256
+    assert "kernel_impl" not in throughput_config(1000, 128, mesh=mesh)
     mesh2d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
                   ("particles", "model"))
     cfg2d = throughput_config(8192, 64, mesh=mesh2d, model_axis="model")
