@@ -114,6 +114,11 @@ def main():
                         warm_median=True, median_impl="fused")
         if args.step_impl == "fused_model":
             fused_kw["inkernel_model"] = model.inkernel_model
+        if jax.default_backend() != "tpu":
+            # The fused steps are Pallas kernels, which off-TPU only
+            # run in interpret mode (slow but correct) — keeps the
+            # flag demonstrable on CPU.
+            fused_kw["pallas_interpret"] = True
     sampler = SVGDSampler(
         n_particles=args.n_particles,
         log_p=model.log_p,

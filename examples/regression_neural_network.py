@@ -65,12 +65,13 @@ def main():
                          "(see module docstring) — 10 lets the fit mode win")
     ap.add_argument("--tuned", action="store_true",
                     help="splat throughput_config(n, p) over the sampler "
-                         "(measured-best production options: at this "
-                         "workload's p=303 the large-p branch selects the "
+                         "(measured-best production options; what it picks "
+                         "depends on n: at the reference's default n=20 the "
+                         "fused_gram tail fits in VMEM even at p=303, while "
+                         "at n>=1000 the large-p branch selects the "
                          "streaming Pallas tile + fused warm median, "
-                         "~11M updates/s at n=1000 — "
-                         "benchmarks/nn_phi_probe.py; default keeps the "
-                         "reference-faithful XLA step)")
+                         "~11M updates/s — benchmarks/nn_phi_probe.py; "
+                         "default keeps the reference-faithful XLA step)")
     args = ap.parse_args()
 
     X_train, y_train = generate_data(args.seed)

@@ -494,6 +494,16 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
     if model is not None and not gram_in_kernel:
         raise ValueError("an in-kernel model requires gram_in_kernel=True")
     if gram_in_kernel:
+        if D is not None or D_sub is not None:
+            # A precomputed D would be silently discarded (the kernel
+            # recomputes it with the in-kernel dot at the Pallas-tile
+            # numerics class) — reject the inconsistent call instead of
+            # quietly downgrading the caller's HIGHEST-precision D.
+            raise ValueError(
+                "gram_in_kernel=True computes D inside the kernel; pass "
+                "D=None and D_sub=None (got a precomputed D — use "
+                "gram_in_kernel=False to keep its numerics)"
+            )
         share_dsub = theta_sub is None
         m = n if share_dsub else theta_sub.shape[0]
         grads_checked = () if model is not None else (("grads", grads),)
@@ -519,6 +529,11 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
                     "batch or use step_impl='fused_gram' (XLA gradients)"
                 )
     else:
+        if theta_sub is not None:
+            raise ValueError(
+                "theta_sub is only consumed when gram_in_kernel=True; "
+                "with a precomputed D pass its subsample as D_sub"
+            )
         share_dsub = D_sub is D
         m = D_sub.shape[0]
         checked = (("theta", theta), ("grads", grads), ("D", D),

@@ -214,7 +214,7 @@ def pallas_svgd_phi_rect(theta_rows, theta_cols, grads_cols, h2,
     return phi.astype(dtype)
 
 
-def _svgd_on_d_tile_kernel(h2_ref, n_ref, d_ref, gt_j_ref, both_ref,
+def _svgd_on_d_tile_kernel(h2_ref, n_ref, d_ref, u_j_ref, ku_ref,
                            ksum_ref):
     """One (i, j) tile of the on-D variant: the [bi, bj] distance block
     comes in as an INPUT (the 2-D mesh materialises D_rows anyway — its
@@ -222,17 +222,17 @@ def _svgd_on_d_tile_kernel(h2_ref, n_ref, d_ref, gt_j_ref, both_ref,
     contraction + row-sums so K never touches HBM."""
     j = pl.program_id(1)
     n_valid = n_ref[0]
-    bj = gt_j_ref.shape[0]
+    bj = u_j_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
-        both_ref[:] = jnp.zeros_like(both_ref)
+        ku_ref[:] = jnp.zeros_like(ku_ref)
         ksum_ref[:] = jnp.zeros_like(ksum_ref)
 
     K = jnp.exp2(d_ref[:] * (-1.4426950408889634 / 2.0) / h2_ref[0])
     col = j * bj + jax.lax.broadcasted_iota(jnp.int32, K.shape, 1)
     K = jnp.where(col < n_valid, K, 0.0)
-    both_ref[:] += jnp.dot(K, gt_j_ref[:],
+    ku_ref[:] += jnp.dot(K, u_j_ref[:],
                            preferred_element_type=jnp.float32)
     ksum_ref[:] += jnp.sum(K, axis=1, keepdims=True)
 
@@ -251,7 +251,7 @@ def pallas_svgd_both_ksum_on_D(D_rows, u_cols, h2, block_i=512,
     (K@u + ksum*theta/h^2)/n — one contraction instead of two).
     f32 compute (inputs cast in, outputs f32)."""
     m, n = D_rows.shape
-    two_p = u_cols.shape[1]
+    p_loc = u_cols.shape[1]
     f32 = jnp.float32
     bi = min(block_i, max(8, m))
     bj = min(block_j, max(8, n))
@@ -260,7 +260,7 @@ def pallas_svgd_both_ksum_on_D(D_rows, u_cols, h2, block_i=512,
 
     D_p = jnp.pad(D_rows.astype(f32),
                   ((0, m_pad - m), (0, n_pad - n)))
-    gt_p = _pad_rows(u_cols.astype(f32), n_pad - n)
+    u_p = _pad_rows(u_cols.astype(f32), n_pad - n)
 
     grid = (m_pad // bi, n_pad // bj)
     both, ksum = pl.pallas_call(
@@ -270,19 +270,19 @@ def pallas_svgd_both_ksum_on_D(D_rows, u_cols, h2, block_i=512,
             pl.BlockSpec(memory_space=pltpu.SMEM),             # h2
             pl.BlockSpec(memory_space=pltpu.SMEM),             # n
             pl.BlockSpec((bi, bj), lambda i, j: (i, j)),       # D tile
-            pl.BlockSpec((bj, two_p), lambda i, j: (j, 0)),    # gt_j
+            pl.BlockSpec((bj, p_loc), lambda i, j: (j, 0)),    # u_j
         ],
         out_specs=[
-            pl.BlockSpec((bi, two_p), lambda i, j: (i, 0)),
+            pl.BlockSpec((bi, p_loc), lambda i, j: (i, 0)),
             pl.BlockSpec((bi, 1), lambda i, j: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m_pad, two_p), f32),
+            jax.ShapeDtypeStruct((m_pad, p_loc), f32),
             jax.ShapeDtypeStruct((m_pad, 1), f32),
         ],
         interpret=interpret,
     )(jnp.asarray(h2, f32).reshape(1),
-      jnp.asarray(n, jnp.int32).reshape(1), D_p, gt_p)
+      jnp.asarray(n, jnp.int32).reshape(1), D_p, u_p)
     return both[:m], ksum[:m]
 
 

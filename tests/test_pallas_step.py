@@ -109,6 +109,33 @@ def test_fused_step_guards():
         _make(model, theta0, gd, "bogus")
 
 
+def test_fused_tail_rejects_inconsistent_d_arguments():
+    """A precomputed D alongside gram_in_kernel=True would be silently
+    discarded (the kernel recomputes D at the in-kernel numerics class);
+    theta_sub alongside a precomputed D would be silently ignored. Both
+    must be loud errors, not silent numerics changes."""
+    from stein_tpu.ops.pallas_step import fused_warm_step_tail
+    from stein_tpu.ops.rbf import pairwise_sq_dists
+
+    n, p = 16, 4
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    grads = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    D = pairwise_sq_dists(theta)
+    gd = Adam(learning_rate=1e-1)
+    state = gd.init((n, p), jnp.float32)
+    with pytest.raises(ValueError, match="computes D inside"):
+        fused_warm_step_tail(
+            theta, grads, D, D, jnp.float32(0.0), state, gd,
+            interpret=True, gram_in_kernel=True,
+        )
+    with pytest.raises(ValueError, match="theta_sub"):
+        fused_warm_step_tail(
+            theta, grads, D, D, jnp.float32(0.0), state, gd,
+            interpret=True, theta_sub=theta[::2],
+        )
+
+
 def test_fused_tail_rejects_structure_changing_optimizer():
     """Regression (r2 advisor): the tail kernel's positional state
     write-back would silently truncate if gd.update returned a pytree
