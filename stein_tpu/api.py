@@ -562,8 +562,78 @@ def make_epilogue_warm_step_fn(log_p, unravel_fn, gd, n_particles,
     return step_fn, init_med
 
 
+def _probe_model_hooks(model, n_particles, n_params, probe_batch):
+    """Construction-time validation of throughput_config's model hooks:
+    call the selected hook (``quadratic_form`` wins, mirroring the
+    selection order below) once on ``probe_batch`` and check its contract
+    shapes, so a wrong hook fails HERE with a readable error instead of
+    deep inside a remote Mosaic trace (r3 review weak-spot #6; the repo's
+    "fail loudly" standard, see the mesh guards below in SVGDSampler).
+    grad_fn is exercised with jax.eval_shape — shape errors surface, no
+    kernel compiles."""
+    p = n_params
+    if hasattr(model, "quadratic_form"):
+        try:
+            A_eff, b_eff, const = model.quadratic_form(probe_batch)
+        except Exception as e:
+            raise ValueError(
+                "throughput_config probe: model.quadratic_form(probe_batch) "
+                f"raised {type(e).__name__}: {e} — the fused_glm step would "
+                "fail at trace time; fix the hook or drop model="
+            ) from e
+        if tuple(A_eff.shape) != (p, p) or int(jnp.size(b_eff)) != p:
+            raise ValueError(
+                "throughput_config probe: quadratic_form must return "
+                f"(A_eff [p, p], b_eff [p], const) for p={p}; got "
+                f"A_eff {A_eff.shape}, b_eff {jnp.shape(b_eff)}"
+            )
+        return
+    from .ops.pallas_step import InKernelModel
+    try:
+        m = model.inkernel_model(probe_batch)
+    except Exception as e:
+        raise ValueError(
+            "throughput_config probe: model.inkernel_model(probe_batch) "
+            f"raised {type(e).__name__}: {e} — the fused_model step would "
+            "fail at trace time; fix the hook or drop model="
+        ) from e
+    if not isinstance(m, InKernelModel):
+        raise ValueError(
+            "throughput_config probe: inkernel_model must return an "
+            f"ops.pallas_step.InKernelModel, got {type(m).__name__}"
+        )
+    for i, op in enumerate(m.operands):
+        if op.ndim < 2:
+            raise ValueError(
+                f"throughput_config probe: in-kernel model operand {i} "
+                f"must be >=2-D for the Mosaic VMEM layout (got shape "
+                f"{op.shape}); reshape rows/scalars to [1, k]"
+            )
+    theta_spec = jax.ShapeDtypeStruct((n_particles, p), jnp.float32)
+    try:
+        g_shape, lp_shape = jax.eval_shape(m.grad_fn, theta_spec,
+                                           *m.operands)
+    except Exception as e:
+        raise ValueError(
+            "throughput_config probe: the InKernelModel's grad_fn failed "
+            f"shape tracing ({type(e).__name__}: {e}) — it would fail "
+            "inside the fused step kernel"
+        ) from e
+    if tuple(g_shape.shape) != (n_particles, p):
+        raise ValueError(
+            "throughput_config probe: grad_fn must return "
+            f"(grads [{n_particles}, {p}], logp_mean scalar); got grads "
+            f"{g_shape.shape}"
+        )
+    if jnp.ndim(lp_shape) != 0:
+        raise ValueError(
+            "throughput_config probe: grad_fn's second return (logp_mean) "
+            f"must be a scalar; got shape {lp_shape.shape}"
+        )
+
+
 def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
-                      dtype=jnp.float32, model=None):
+                      dtype=jnp.float32, model=None, probe_batch=None):
     """Measured-best sampler options for production throughput — the
     decision tree from benchmarks/RESULTS.md as a kwargs dict to splat
     into SVGDSampler next to the model arguments:
@@ -597,7 +667,16 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     (measured: glm 15.1 us vs fused_gram 24.7 us at n=1k/p=128;
     fused_model 16.3 vs 18.0 us on the Covertype shape — RESULTS.md
     r3). Models wanting f32-faithful XLA gradients should simply not
-    pass ``model=``."""
+    pass ``model=``.
+
+    ``probe_batch=`` (optional, with ``model=``): a representative batch
+    on which the selected hook is called ONCE at config time and its
+    contract shapes checked (quadratic_form's (A_eff [p,p], b_eff [p],
+    const); inkernel_model's InKernelModel with >=2-D operands and a
+    grad_fn that shape-traces to ([n, p], scalar)) — a wrong hook fails
+    here with a readable error instead of deep in a remote Mosaic trace.
+    Without it, validation happens at first trace (the sampler's VMEM
+    and shape gates still fail loudly, just later)."""
     f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
     cfg = dict(median="bisect", warm_median=True, dtype=dtype)
     large = n_particles >= 4096
@@ -629,6 +708,11 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             # 35.8 us at n=1000/p=128 (RESULTS.md round 3), same
             # tolerance class as the large-n streaming tile.
             cfg.update(step_impl="fused_gram", median_impl="fused")
+            if model is not None and probe_batch is not None and (
+                    hasattr(model, "quadratic_form")
+                    or hasattr(model, "inkernel_model")):
+                _probe_model_hooks(model, n_particles, n_params,
+                                   probe_batch)
             if model is not None and hasattr(model, "quadratic_form"):
                 cfg.update(step_impl="fused_glm",
                            quadratic_form=model.quadratic_form)

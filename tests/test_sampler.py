@@ -401,6 +401,84 @@ def test_throughput_config_model_hooks():
         assert np.isfinite(np.asarray(s.samples)).all()
 
 
+def test_throughput_config_probe_batch():
+    """throughput_config(model=..., probe_batch=...) validates the
+    selected hook at CONFIG time (r3 review weak-spot #6): a healthy
+    hook passes silently and yields the same config; a hook that raises
+    or returns contract-violating shapes fails here with a readable
+    ValueError instead of deep in a Mosaic trace; off the fused branch
+    (mesh / large n / non-f32) the probe is skipped entirely."""
+    from jax.sharding import Mesh
+    from stein_tpu import throughput_config
+    from stein_tpu.models import (
+        LinearRegressionModel,
+        LogisticRegressionModel,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(8, 4)).astype(np.float32)
+    batch = {"X": jnp.asarray(X),
+             "y": jnp.asarray(X @ np.ones((4, 1), np.float32))}
+
+    # Healthy hooks: probe passes, config identical to the unprobed one.
+    lin = LinearRegressionModel(4)
+    assert throughput_config(64, 4, model=lin, probe_batch=batch) == \
+        throughput_config(64, 4, model=lin)
+    logreg = LogisticRegressionModel(4, n_train=100, n_batch=8)
+    lr_batch = {"X": batch["X"],
+                "y": jnp.asarray((X @ np.ones((4, 1)) > 0), jnp.float32)}
+    assert throughput_config(64, 5, model=logreg,
+                             probe_batch=lr_batch) == \
+        throughput_config(64, 5, model=logreg)
+
+    # quadratic_form that raises on this batch: caught and re-raised
+    # with the hook named.
+    class RaisingQF:
+        def quadratic_form(self, batch):
+            raise TypeError("needs sufficient statistics")
+
+    with pytest.raises(ValueError, match="quadratic_form.*raised"):
+        throughput_config(64, 4, model=RaisingQF(), probe_batch=batch)
+
+    # quadratic_form with wrong shapes (A_eff not [p, p]).
+    class WrongShapeQF:
+        def quadratic_form(self, batch):
+            return jnp.zeros((3, 3)), jnp.zeros(3), 0.0
+
+    with pytest.raises(ValueError, match=r"A_eff \[p, p\]"):
+        throughput_config(64, 4, model=WrongShapeQF(), probe_batch=batch)
+
+    # inkernel_model returning the wrong type.
+    class WrongTypeIK:
+        def inkernel_model(self, batch):
+            return object()
+
+    with pytest.raises(ValueError, match="InKernelModel"):
+        throughput_config(64, 4, model=WrongTypeIK(), probe_batch=batch)
+
+    # inkernel_model whose grad_fn traces to the wrong gradient shape.
+    from stein_tpu.ops.pallas_step import InKernelModel
+
+    class WrongGradIK:
+        def inkernel_model(self, batch):
+            return InKernelModel(
+                grad_fn=lambda theta, Xop: (theta[:, :1], jnp.float32(0)),
+                operands=(batch["X"],),
+            )
+
+    with pytest.raises(ValueError, match="grad_fn must return"):
+        throughput_config(64, 4, model=WrongGradIK(), probe_batch=batch)
+
+    # Off the fused branch the probe never runs: a broken hook with a
+    # mesh (or large n, or f64) configures without error.
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
+    throughput_config(64, 4, model=RaisingQF(), probe_batch=batch,
+                      mesh=mesh)
+    throughput_config(65536, 512, model=RaisingQF(), probe_batch=batch)
+    throughput_config(64, 4, model=RaisingQF(), probe_batch=batch,
+                      dtype=jnp.float64)
+
+
 def test_string_dtype_constructs_fused_paths():
     """Regression (r2 advisor): the fused-path f32 guards must normalize
     the dtype before comparing, so the docstring-advertised splat
