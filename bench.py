@@ -236,6 +236,38 @@ def bench_nn(K=2000, R=6, reps=3, measures=3):
     return n, _slope_median(make, K, R, reps, measures)
 
 
+def bench_adagrad50(X, y, K=8000, R=10, reps=3, measures=3):
+    """BASELINE config #1 — the reference linear-regression example's
+    own configuration (50 particles, AdaGrad rule,
+    examples/linear_regression/main.py + BASELINE.md config list). Tiny
+    n, so the step is dispatch-bound: throughput_config picks the
+    one-kernel fused_glm tail (the AdaGrad rule is traced inside the
+    kernel exactly like Adam — ops/optimizers.py update_kernel). K=8000:
+    at a ~10 us step the slope numerator is ~0.7 s."""
+    import jax.numpy as jnp
+    from stein_tpu import Adagrad, SVGDSampler, throughput_config
+    from stein_tpu.models import LinearRegressionModel
+
+    n = 50
+    rng = np.random.default_rng(3)
+    theta0 = rng.normal(size=(n, N_PARAMS)) * 0.01
+    model = LinearRegressionModel(N_PARAMS)
+    batch = model.sufficient_batch(
+        {"X": jnp.asarray(X, jnp.float32), "y": jnp.asarray(y, jnp.float32)})
+
+    def make():
+        sampler = SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adagrad(learning_rate=1e-1),
+            theta=jnp.asarray(theta0, jnp.float32),
+            **throughput_config(n, N_PARAMS, model=model),
+        )
+        return sampler, batch
+
+    return n, _slope_median(make, K, R, reps, measures)
+
+
 def main():
     # Config 1 (primary): n=1000, XLA kernel, sort-free bisect median.
     n1 = 1000
@@ -306,6 +338,14 @@ def main():
     if t_glm:
         extra["n1000_glm_updates_per_s"] = round(n1 / t_glm, 1)
         extra["n1000_glm_step_us"] = round(t_glm * 1e6, 2)
+
+    # Extra: BASELINE config #1 as written (50 particles, AdaGrad) —
+    # the reference example's own configuration.
+    ada = try_config("adagrad50", lambda: bench_adagrad50(
+        X, y, K=8000, R=10, reps=3, measures=3))
+    if ada:
+        extra["adagrad50_updates_per_s"] = round(ada[0] / ada[1], 1)
+        extra["adagrad50_step_us"] = round(ada[1] * 1e6, 2)
 
     # Extra: BASELINE config #2 (Covertype-shape logistic regression)
     # through the one-kernel fused_model step. K=5000/R=8: ~16 us step

@@ -692,3 +692,49 @@ def test_fused_model_logreg_posterior_statistics_on_chip():
     )
     ratio = sb.var(axis=0) / sa.var(axis=0)
     assert np.all(ratio > 0.6) and np.all(ratio < 1.7), ratio
+
+
+def test_bfloat16_end_to_end_posterior_on_chip():
+    """Whole-sampler bf16 on the REAL chip (particles, moments, phi all
+    bfloat16 through the XLA path — model math at f32): posterior
+    moments of a correlated Gaussian land inside the Monte-Carlo band.
+    Same target/tolerances as the CPU twin
+    (tests/test_statistical.py::test_bfloat16_end_to_end_posterior);
+    on TPU the bf16 matmuls additionally run on the native MXU path.
+    Requires the r4 optimizer fix (ops/optimizers._scalar_dtype):
+    beta_2=0.999 rounds to exactly 1.0 in bf16, which zeroed every Adam
+    step before it."""
+    from stein_tpu import Adam, SVGDSampler
+
+    mu = np.array([1.0, -2.0, 0.5])
+    cov = np.array([
+        [1.0, 0.7, 0.2],
+        [0.7, 1.5, -0.3],
+        [0.2, -0.3, 0.8],
+    ])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    muj = jnp.asarray(mu, jnp.float32)
+
+    def log_p(params, batch):
+        d = params["x"].astype(jnp.float32) - muj
+        return -0.5 * d @ prec @ d
+
+    n = 128
+    sampler = SVGDSampler(
+        n_particles=n, log_p=log_p,
+        param_template={"x": jnp.zeros((3,), jnp.bfloat16)},
+        gd=Adam(learning_rate=5e-2), key=jax.random.PRNGKey(1),
+        dtype=jnp.bfloat16,
+    )
+    sampler.run(batch=None, n_steps=1500)
+    s = np.asarray(sampler.samples, np.float64)
+    assert np.isfinite(s).all()
+    mc = np.sqrt(np.diag(cov) / n)
+    merr = np.abs(s.mean(axis=0) - mu).max()
+    print(f"[fidelity] bf16 end-to-end: mean err {merr:.4f} "
+          f"(4x MC {4 * mc.max():.4f}), diag cov "
+          f"{np.diag(np.cov(s.T)).round(3)}")
+    np.testing.assert_allclose(s.mean(axis=0), mu, atol=4 * mc.max())
+    est = np.cov(s.T)
+    np.testing.assert_allclose(est, cov, atol=0.55)
+    assert np.all(np.diag(est) > 0.3)
