@@ -200,16 +200,77 @@ def bench_logreg(K=5000, R=8, reps=3, measures=3):
     return n, _slope_median(make, K, R, reps, measures)
 
 
+def bench_covertype_e2e(reps=3):
+    """The FULL reference Covertype workload end-to-end (BASELINE config
+    #2 as the reference runs it: 100 particles, minibatch 50, 6000 Adam
+    iterations over a 581,012-row dataset —
+    examples/logistic_regression/main.py:65-79): the 465k-row training
+    split resident in HBM, minibatch indices drawn ON DEVICE inside the
+    scan (SVGDSampler.train_minibatched), the whole 6000-iteration run
+    as ONE dispatch. Synthetic data at the exact Covertype shape (the
+    reference repo's covertype.mat is absent; examples/
+    logistic_regression.py --data loads a real copy with identical
+    semantics). Reports wall seconds for all 6000 iterations (first
+    call compiles; timed calls reuse)."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LogisticRegressionModel
+
+    # Drop earlier configs' device buffers before staging the ~100 MB
+    # dataset: lingering allocations measured a 3x slowdown on this row
+    # when it ran after the other configs.
+    gc.collect()
+
+    rng = np.random.default_rng(13)
+    n_rows, d, n, n_batch, n_iters = 581012, 54, 100, 50, 6000
+    n_train = n_rows * 4 // 5
+    X = rng.normal(size=(n_train, d)).astype(np.float32)
+    y = (X @ rng.normal(size=(d, 1)) > 0).astype(np.float32)
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    model = LogisticRegressionModel(d, n_train=n_train, n_batch=n_batch)
+
+    def make():
+        # fused_model: the whole per-step tail + sigmoid-likelihood
+        # gradients as ONE kernel, re-staged per minibatch inside the
+        # scan (measured 0.417 vs 0.501 s for the XLA step — the
+        # remaining ~70 us/step is the per-step dataset gather + operand
+        # staging, not the SVGD math).
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adam(learning_rate=1e-1), key=jax.random.PRNGKey(5),
+            median="bisect", median_passes=16, warm_median=True,
+            warm_passes=6, median_impl="fused",
+            step_impl="fused_model", inkernel_model=model.inkernel_model,
+        )
+
+    sampler = make()
+    key = jax.random.PRNGKey(7)
+    sampler.train_minibatched(data, n_iters, n_batch, key)  # compile
+    np.asarray(sampler.state.particles)
+    best = float("inf")
+    for _ in range(reps):
+        sampler = make()
+        t0 = time.perf_counter()
+        sampler.train_minibatched(data, n_iters, n_batch, key)
+        np.asarray(sampler.state.particles)
+        best = min(best, time.perf_counter() - t0)
+    return n_iters, best
+
+
 def bench_nn(K=2000, R=6, reps=3, measures=3):
     """BASELINE config #3 — Bayesian NN regression (per-particle MLP
     weights, the reference example's exact model: 1 -> 100 -> 1 ReLU,
     p=303, minibatch 20, regression_neural_network/main.py) at n=1000
-    particles through throughput_config (p=303 exceeds the fused tail's
-    VMEM gate, so the large-p branch picks the streaming Pallas tile +
-    fused warm median — benchmarks/nn_phi_probe.py; gradients are XLA
-    vmap-autodiff — per-particle weight tensors are outside the
-    InKernelModel boundary, docs/DESIGN.md). The reference's own n=20
-    config is measured in benchmarks/nn_bench.py (7.8 us/step
+    particles through throughput_config(model=...) (p=303 exceeds the
+    fused tail's VMEM gate, so the large-p branch picks the streaming
+    Pallas tile + the gram-in-kernel warm median + the model's Pallas
+    gradient kernel — hand-derived elementwise backward replacing the
+    MXU-starved vmap-autodiff dots; RESULTS.md r4). The reference's own
+    n=20 config is measured in benchmarks/nn_bench.py (7.8 us/step
     tuned)."""
     import jax
     import jax.numpy as jnp
@@ -229,7 +290,8 @@ def bench_nn(K=2000, R=6, reps=3, measures=3):
             n_particles=n, log_p=model.log_p,
             param_template=model.template(),
             gd=Adam(learning_rate=1e-1, decay=0.999),
-            key=jax.random.PRNGKey(3), **throughput_config(n, p),
+            key=jax.random.PRNGKey(3),
+            **throughput_config(n, p, model=model),
         )
         return sampler, batch
 
@@ -355,6 +417,14 @@ def main():
     if lr:
         extra["logreg_fused_model_updates_per_s"] = round(lr[0] / lr[1], 1)
         extra["logreg_fused_model_step_us"] = round(lr[1] * 1e6, 2)
+
+    # Extra: the FULL reference Covertype run end-to-end (100 particles,
+    # minibatch 50, 6000 iters, 581k-row-scale dataset in HBM,
+    # on-device index sampling — ONE dispatch).
+    cov = try_config("covertype_e2e", lambda: bench_covertype_e2e())
+    if cov:
+        extra["covertype_e2e_6000iters_s"] = round(cov[1], 3)
+        extra["covertype_e2e_step_us"] = round(cov[1] / cov[0] * 1e6, 2)
 
     # Extra: BASELINE config #3 (Bayesian NN regression, per-particle
     # MLP weights) at n=1000. K=2000/R=6: ~96 us step -> ~0.96 s

@@ -45,6 +45,34 @@ def measure(tag, K=2000, R=8, reps=3, measures=3, **kw):
     return t
 
 
+def measure_fused_shard(tag, mesh, epilogue, K=2000, R=8, reps=3,
+                        measures=3, **kw):
+    """fused_shard step on the mesh; epilogue='xla' rebuilds the warm fn
+    with the A/B switch (api exposes only the measured-best default)."""
+    from stein_tpu.parallel.sharded_fused import (
+        make_sharded_fused_warm_step,
+    )
+
+    X, y, theta0 = make_data(1000)
+    ts = []
+    for _ in range(measures):
+        sampler, batch = make_sampler(
+            X, y, theta0, mesh=mesh, step_impl="fused_shard", **kw)
+        if epilogue != "fused":
+            sampler._warm_step_fn, sampler._warm_init_med = \
+                make_sharded_fused_warm_step(
+                    sampler.log_p, sampler.unravel_fn, sampler.gd,
+                    sampler.n_particles, sampler.state, mesh,
+                    median_passes=16, warm_passes=6,
+                    pallas_block=kw.get("pallas_block", 256),
+                    epilogue=epilogue,
+                )
+        ts.append(slope_time(sampler, batch, K=K, R=R, reps=reps))
+    t = sorted(ts)[len(ts) // 2]
+    print(f"{tag:34s} {t * 1e6:8.2f} us/step")
+    return t
+
+
 def main():
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("particles",))
     common = dict(median="bisect", median_passes=16, warm_median=True,
@@ -54,6 +82,10 @@ def main():
             pallas_block=256, **common)
     measure("mesh1 ring pallas warm", mesh=mesh, kernel_impl="pallas",
             pallas_block=256, comm="ring", **common)
+    measure_fused_shard("mesh1 FUSED_SHARD (fused epi)", mesh, "fused",
+                        pallas_block=256, **common)
+    measure_fused_shard("mesh1 FUSED_SHARD (xla epi)", mesh, "xla",
+                        pallas_block=256, **common)
     measure("single fused_gram", step_impl="fused_gram",
             median_impl="fused", **common)
     measure("single xla warm", **common)

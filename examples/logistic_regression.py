@@ -69,6 +69,13 @@ def main():
                          "dataset with the reference's semantics "
                          "(logistic_regression/main.py:11-16) instead of "
                          "synthetic data")
+    ap.add_argument("--on-device-sampling", action="store_true",
+                    help="sample minibatch indices ON DEVICE inside the "
+                         "scan (sampler.train_minibatched): the full "
+                         "dataset stays resident in HBM and no host RNG "
+                         "or index staging runs in the loop — the "
+                         "full-scale mode for the real 581k-row "
+                         "Covertype (--data covertype.mat)")
     ap.add_argument("--precision", type=str, default="high",
                     choices=["high", "default", "highest"],
                     help="model data-matmul precision: 'high' = f32-faithful\n(default); 'default' = the TPU's native bf16-input rate\n(~6e-4 phi class, see models/distributions.py)")
@@ -141,17 +148,27 @@ def main():
     # step-per-session-call loop (logistic_regression/main.py:72-79).
     X_train_j = jnp.asarray(X_train, jnp.float32)
     y_train_j = jnp.asarray(y_train, jnp.float32)
+    train_data = {"X": X_train_j, "y": y_train_j}
     for i in range(0, args.n_iters, args.n_prog):
         acc = evaluate()
         print(f"Iteration {i} / {args.n_iters}: {acc:4f}")
         k = min(args.n_prog, args.n_iters - i)
-        idx = np.stack([
-            rng.choice(n_train, args.n_batch, replace=False)
-            for _ in range(k)
-        ])
-        sampler.train_on_batches(
-            {"X": X_train_j[idx], "y": y_train_j[idx]}
-        )
+        if args.on_device_sampling:
+            # Full dataset resident in HBM; indices drawn inside the
+            # scan (see SVGDSampler.train_minibatched) — no host RNG or
+            # index staging in the loop.
+            sampler.train_minibatched(
+                train_data, k, args.n_batch,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed + 2), i),
+            )
+        else:
+            idx = np.stack([
+                rng.choice(n_train, args.n_batch, replace=False)
+                for _ in range(k)
+            ])
+            sampler.train_on_batches(
+                {"X": X_train_j[idx], "y": y_train_j[idx]}
+            )
     print(f"Final accuracy: {evaluate():4f}")
     print(f"Time elapsed: {time.time() - start:.2f}s")
 

@@ -91,7 +91,8 @@ def main():
             int(np.prod(np.shape(leaf)))
             for leaf in jax.tree_util.tree_leaves(model.template())
         )
-        tuned_kw = throughput_config(args.n_particles, n_params)
+        tuned_kw = throughput_config(args.n_particles, n_params,
+                                     model=model)
         if jax.default_backend() != "tpu":
             # The tuned configs select Pallas kernels, which off-TPU
             # only run in interpret mode (slow but correct) — keeps

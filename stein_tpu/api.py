@@ -81,14 +81,14 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
     the quad-ary regime (> 100k entries, ops/median._bisect_search);
     smaller blocks keep the XLA dual-rank search.
     """
-    if median_impl not in ("xla", "fused"):
+    if median_impl not in ("xla", "fused", "fused_gram"):
         raise ValueError(f"unknown median_impl: {median_impl!r}")
 
     def fused_cold_or_none(D_sub):
         """The single-kernel cold bisect when requested + applicable
         (quad-ary regime AND the block fits VMEM — the XLA fallback is
         bitwise-equal, see ops/pallas_median.fused_block_ok)."""
-        if median_impl == "fused":
+        if median_impl in ("fused", "fused_gram"):
             from .ops.pallas_median import (
                 fused_block_ok,
                 fused_warm_median_rows,
@@ -100,6 +100,32 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
                 )
         return None
 
+    def gram_cold_or_none(theta):
+        """median_impl='fused_gram': the cold search with the median
+        block's Gram in-kernel too (ops/pallas_median.
+        fused_warm_median_from_theta — the fused_gram numerics class;
+        see _make_warm_median_fns). None outside the kernel's envelope
+        (the HIGHEST-Gram fallback below is strictly more accurate)."""
+        if median_impl != "fused_gram":
+            return None
+        from .ops.median import subsample_rows
+        from .ops.pallas_median import (
+            bracket_pass_fits,
+            fused_warm_median_from_theta,
+        )
+        n, p = theta.shape
+        rows = subsample_rows(theta, median_max_rows)
+        if rows is None:
+            rows = theta
+        m = rows.shape[0]
+        if m * n <= 100_000 or not bracket_pass_fits(m, n, p):
+            return None
+        center = jnp.mean(theta, axis=0, keepdims=True)
+        return fused_warm_median_from_theta(
+            rows, theta, jnp.float32(0.0), center,
+            warm_passes=median_passes, interpret=pallas_interpret,
+        )
+
     if median == "exact":
         median_fn = lambda theta: exact_median(rbf.pairwise_sq_dists(theta))
     elif median == "subsample":
@@ -110,6 +136,9 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
         from .ops.median import row_subsample_block
 
         def median_fn(theta):
+            med = gram_cold_or_none(theta)
+            if med is not None:
+                return med
             med = fused_cold_or_none(
                 row_subsample_block(theta, median_max_rows)
             )
@@ -212,14 +241,23 @@ def _make_warm_median_fns(median_max_rows=512, median_passes=30,
     """The scan-carried warm-median machinery shared by make_warm_phi_fn
     and the epilogue step builder: returns
     (compute_med(theta, med_prev), init_med(theta),
-    warm_med_on_block(D_sub, med_prev))."""
+    warm_med_on_block(D_sub, med_prev)).
+
+    median_impl='fused_gram' (r4) additionally computes the median
+    block's GRAM inside the kernel (ops/pallas_median.
+    fused_warm_median_from_theta) — at large p the XLA HIGHEST D_sub
+    Gram dominates the whole step (~50 us of the ~90 us Bayesian-NN
+    step). The median moves to the fused_gram numerics class (bf16-class
+    in-kernel dot — no longer bitwise vs the XLA search); shapes outside
+    the kernel's VMEM gate fall back to the HIGHEST-Gram 'fused' path —
+    strictly MORE accurate, never silently worse."""
     from .ops.median import _warm_search, row_subsample_block
 
-    if median_impl not in ("xla", "fused"):
+    if median_impl not in ("xla", "fused", "fused_gram"):
         raise ValueError(f"unknown median_impl: {median_impl!r}")
 
     def _use_fused(D_sub):
-        if median_impl != "fused":
+        if median_impl == "xla":
             return False
         from .ops.pallas_median import fused_block_ok
         return fused_block_ok(*D_sub.shape)
@@ -233,7 +271,36 @@ def _make_warm_median_fns(median_max_rows=512, median_passes=30,
             )
         return _warm_search(D_sub, med_prev, warm_passes)
 
+    def _gram_in_kernel_med(theta, med_prev, passes):
+        """fused_gram path: rows/cols/center staged, D in-kernel. Returns
+        None when the shape is outside the kernel's envelope (caller
+        falls back to the HIGHEST-Gram block path)."""
+        from .ops.median import subsample_rows
+        from .ops.pallas_median import (
+            bracket_pass_fits,
+            fused_warm_median_from_theta,
+        )
+        n, p = theta.shape
+        rows = subsample_rows(theta, median_max_rows)
+        if rows is None:
+            rows = theta
+        m = rows.shape[0]
+        if m * n <= 100_000 or not bracket_pass_fits(m, n, p):
+            # Below the quad-ary regime the XLA dual-rank search is the
+            # exact-median semantics; above the VMEM gate the kernel
+            # cannot hold the block.
+            return None
+        center = jnp.mean(theta, axis=0, keepdims=True)
+        return fused_warm_median_from_theta(
+            rows, theta, med_prev, center, warm_passes=passes,
+            interpret=pallas_interpret,
+        )
+
     def compute_med(theta, med_prev):
+        if median_impl == "fused_gram":
+            med = _gram_in_kernel_med(theta, med_prev, warm_passes)
+            if med is not None:
+                return med
         return warm_med_on_block(
             row_subsample_block(theta, median_max_rows), med_prev
         )
@@ -244,6 +311,11 @@ def _make_warm_median_fns(median_max_rows=512, median_passes=30,
         # the XLA cold bisect in the quad-ary regime) — otherwise every
         # chunked run() call would pay 1+ceil(passes/2) sequential
         # dispatch-bound count kernels just to re-seed.
+        if median_impl == "fused_gram":
+            med = _gram_in_kernel_med(theta, jnp.float32(0.0),
+                                      median_passes)
+            if med is not None:
+                return med
         D_sub = row_subsample_block(theta, median_max_rows)
         if _use_fused(D_sub):
             from .ops.pallas_median import fused_warm_median_rows
@@ -313,10 +385,23 @@ def make_warm_phi_fn(n_particles, kernel_impl="xla", median_max_rows=512,
     return phi_fn
 
 
-def _make_grad_all(log_p, unravel_fn, remat):
+def _make_grad_all(log_p, unravel_fn, remat, custom_grads=None):
     """vmap(value_and_grad) over flat particle rows — THE gradient stage
     shared by every step builder (remat rematerialises the log_p forward
-    in the backward, jax.checkpoint)."""
+    in the backward, jax.checkpoint). ``custom_grads`` (a callable
+    (theta [n, p], batch) -> (logp_vals [n], grads [n, p])) replaces the
+    autodiff stage entirely — the hook behind model-supplied gradient
+    kernels (e.g. BayesianNNModel.pallas_grads, whose hand-derived
+    backward is pure VPU elementwise math where vmap-autodiff emits
+    MXU-starved batched dots)."""
+    if custom_grads is not None:
+        if remat:
+            raise ValueError(
+                "custom_grads= supplies its own gradient computation; "
+                "remat=True (checkpointed autodiff) does not apply — "
+                "drop one of the two"
+            )
+        return custom_grads
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
@@ -328,7 +413,7 @@ def _make_grad_all(log_p, unravel_fn, remat):
 
 
 def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
-                 remat=False):
+                 remat=False, custom_grads=None):
     """Build the pure SVGD step: (state, batch) -> (state, aux).
 
     Collapses the reference's stack-3.2 hot path
@@ -338,7 +423,7 @@ def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
     when the model's activations x n_particles would not fit.
     """
 
-    grad_all = _make_grad_all(log_p, unravel_fn, remat)
+    grad_all = _make_grad_all(log_p, unravel_fn, remat, custom_grads)
 
     def step_fn(state, batch):
         theta = state.particles
@@ -362,11 +447,11 @@ def make_step_fn(log_p, unravel_fn, gd, phi_fn, max_phi_norm=10.0,
 
 
 def make_warm_step_fn(log_p, unravel_fn, gd, warm_phi_fn,
-                      max_phi_norm=10.0, remat=False):
+                      max_phi_norm=10.0, remat=False, custom_grads=None):
     """Scan-carried step for warm-median sampling: carry is
     (SVGDState, med_prev)."""
 
-    grad_all = _make_grad_all(log_p, unravel_fn, remat)
+    grad_all = _make_grad_all(log_p, unravel_fn, remat, custom_grads)
 
     def step_fn(carry, batch):
         state, med_prev = carry
@@ -650,11 +735,15 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     beats the XLA phi even at small n (the NN shape,
     benchmarks/nn_phi_probe.py). The fused kernels and the
     Pallas tile compute in f32, so non-f32 dtypes keep the all-XLA path
-    at the requested precision. Mesh configs stay on the psum'd searches
-    (the fused kernels are single-device); pass ``model_axis`` for a 2-D
-    (particles x model) mesh, whose step tiles the model axis with its
-    own XLA path. Use the scan APIs (run / train_on_batches) —
-    single-step calls are dispatch-latency-bound regardless of config.
+    at the requested precision. 1-D mesh configs take
+    step_impl='fused_shard' (the fused tail split at its collectives —
+    measured faster than every unfused mesh config at all three probed
+    shapes, benchmarks/mesh_fused_probe.py) whenever the bracket
+    kernel's VMEM gate admits the shape, else the streaming tile; pass
+    ``model_axis`` for a 2-D (particles x model) mesh, whose step tiles
+    the model axis with its own XLA path. Use the scan APIs (run /
+    train_on_batches) — single-step calls are dispatch-latency-bound
+    regardless of config.
 
     ``model=`` (optional) upgrades the fused-fits branch to the
     whole-step-in-one-kernel paths when the model object exposes the
@@ -689,16 +778,33 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
         cfg["mesh"] = mesh
         if model_axis is not None:
             cfg["model_axis"] = model_axis
-        elif large and f32:
-            # 1-D particle meshes only (the 2-D step is XLA-tiled), and
-            # the streaming tile computes in f32.
-            cfg.update(kernel_impl="pallas", pallas_block=1024)
-        elif f32 and n_params >= 256:
-            # The large-p rule holds on the mesh too: the rect tile
-            # beats the XLA rows at the NN shape on a 1-device mesh
-            # (98.2 vs 106.4 us same-session,
-            # benchmarks/nn_mesh_probe.py).
-            cfg.update(kernel_impl="pallas", pallas_block=256)
+            return cfg
+        # 1-D particle mesh: fused_shard (the r3 fused tail split at its
+        # collectives — bracket-pass kernel + streaming tile) whenever
+        # its VMEM gate admits the shape. Measured on a 1-device mesh
+        # (benchmarks/mesh_fused_probe.py r4): 44.1 vs 49.3 (prior
+        # Pallas-tile pick) / 58.8 (XLA) us at n=1000/p=128; 83.1 vs
+        # 95.4 / 103.9 us at the NN shape (n=1000/p=303); 307.6 vs
+        # 323.9 us at n=8192/p=64 (where the tile block must stay 1024
+        # — 256 measured 524 us).
+        if f32:
+            from .ops.pallas_median import bracket_pass_fits
+            n_dev = 1
+            for ax in mesh.axis_names:
+                n_dev *= mesh.shape[ax]
+            m_loc = max(
+                min(cfg.get("median_max_rows", 512) // n_dev,
+                    max(n_particles // n_dev, 1)), 1,
+            )
+            if bracket_pass_fits(m_loc, n_particles, n_params):
+                cfg.update(step_impl="fused_shard",
+                           pallas_block=1024 if large else 256)
+            elif large:
+                # Beyond the bracket kernel's VMEM gate: the streaming
+                # tile alone (the r3 large-n mesh pick).
+                cfg.update(kernel_impl="pallas", pallas_block=1024)
+            elif n_params >= 256:
+                cfg.update(kernel_impl="pallas", pallas_block=256)
         return cfg
     if f32:
         from .ops.pallas_step import fused_step_fits
@@ -732,11 +838,21 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             # beats the XLA phi here — its dots run at the fixed
             # in-kernel rate and D never round-trips HBM, while the XLA
             # path's HIGHEST [n, p] Gram + [n,n]x[n,2p] HIGH
-            # contractions scale with p. Measured at the Bayesian-NN
-            # shape (n=1000, p=303): 89.6 vs 96.5 us same-session
-            # (benchmarks/nn_phi_probe.py; at p=128 the XLA path wins
-            # small n, hence the p gate).
-            cfg.update(kernel_impl="pallas", pallas_block=256)
+            # contractions scale with p (benchmarks/nn_phi_probe.py; at
+            # p=128 the XLA path wins small n, hence the p gate).
+            # median_impl='fused_gram' (r4) also moves the median
+            # block's Gram in-kernel — at large p that HIGHEST Gram was
+            # the dominant phi cost. Measured at the Bayesian-NN shape
+            # (n=1000, p=303): 65.4 us (block 512, 128 median rows,
+            # fused_gram) vs 88.5 (r3 pick) vs 96.5 (XLA phi) —
+            # RESULTS.md r4.
+            cfg.update(kernel_impl="pallas", pallas_block=512,
+                       median_impl="fused_gram", median_max_rows=128)
+            if model is not None and hasattr(model, "pallas_grads"):
+                # Model-supplied gradient kernel (the stage autodiff
+                # makes MXU-starved batched dots of): NN shape 65.4 ->
+                # 53.1 us measured (RESULTS.md r4).
+                cfg["custom_grads"] = model.pallas_grads()
     return cfg
 
 
@@ -834,7 +950,7 @@ class SVGDSampler:
         dual-rank search). Requires median='bisect' and f32;
         single-device only (the mesh searches psum across shards).
     step_impl : "xla" (default) | "fused" | "fused_gram" | "fused_glm"
-        | "fused_model" | "epilogue" —
+        | "fused_model" | "epilogue" | "fused_shard" (mesh) —
         "fused" collapses the ENTIRE post-gradient tail (warm median ->
         K -> contractions -> clip -> optimizer) into one Pallas kernel
         (ops/pallas_step.fused_warm_step_tail). Gradients and the
@@ -884,7 +1000,24 @@ class SVGDSampler:
         it stays as the documented floor probe and the fix for
         toolchains where XLA does not fuse the tail. Requires
         warm_median=True, kernel_impl="pallas", the default RBF kernel,
-        f32, single device; any (n, p).
+        f32, single device; any (n, p). "fused_shard" is the MESH
+        counterpart of the fused tails (1-D particle meshes; requires
+        mesh=, warm_median=True, median='bisect', comm='all_gather',
+        the default RBF kernel, kernel_impl="xla", f32): the tail split
+        at its collectives — a fused bracket-pass kernel (the median
+        block's Gram computed in-kernel, fused with the range and
+        bracket-endpoint counts), one pmax + one batched psum, psum'd
+        quad-ary rounds, the streaming tile, the psum'd global clip,
+        and the XLA epilogue (parallel/sharded_fused.py; the fused
+        epilogue kernel A/B'd a wash and stays an option). Measured on
+        a 1-device mesh: 44.1 vs 49.3/58.8 us at n=1000/p=128, 83.1 vs
+        95.4/103.9 us at the NN shape, 307.6 vs 323.9 us at n=8192 —
+        throughput_config(mesh=...) selects it whenever the bracket
+        kernel's VMEM gate admits the shape. Numerics: the in-kernel
+        centered Gram feeds the median counts and tiles (the fused_gram
+        class, pinned statistically; medians match the single-device
+        FUSED path bitwise in interpret mode, the XLA mesh search to
+        class tolerance).
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -897,7 +1030,7 @@ class SVGDSampler:
                  median_passes=30, warm_median=False, warm_passes=8,
                  pallas_precision="f32", median_impl="xla",
                  step_impl="xla", quadratic_form=None,
-                 inkernel_model=None):
+                 inkernel_model=None, custom_grads=None):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -985,9 +1118,17 @@ class SVGDSampler:
                 pallas_precision=pallas_precision,
                 median_impl=median_impl,
             )
+            if custom_grads is not None and step_impl != "xla":
+                raise ValueError(
+                    "custom_grads= replaces the XLA autodiff gradient "
+                    f"stage, which step_impl={step_impl!r} does not use "
+                    "(the fused tails take their gradients in-kernel or "
+                    "from their own XLA stage); use step_impl='xla'"
+                )
             self._step_fn = make_step_fn(
                 log_p, self.unravel_fn, gd, phi_fn,
                 max_phi_norm=max_phi_norm, remat=remat,
+                custom_grads=custom_grads,
             )
             donate_argnums = (0,) if donate else ()
             self._jit_step = jax.jit(
@@ -1000,20 +1141,28 @@ class SVGDSampler:
             # search (~2x step time at small n). Off by default so
             # run(k) stays bit-equal to k train_on_batch calls.
             self._warm_step_fn = None
-            if median_impl not in ("xla", "fused"):
+            if median_impl not in ("xla", "fused", "fused_gram"):
                 raise ValueError(f"unknown median_impl: {median_impl!r}")
-            if median_impl == "fused" and median != "bisect":
+            if median_impl != "xla" and median != "bisect":
                 raise ValueError(
-                    "median_impl='fused' is the single-kernel bisect "
-                    "search; it requires median='bisect'"
+                    f"median_impl={median_impl!r} is the single-kernel "
+                    "bisect search; it requires median='bisect'"
                 )
-            if median_impl == "fused" and jnp.dtype(dtype) != jnp.dtype(
+            if median_impl != "xla" and jnp.dtype(dtype) != jnp.dtype(
                     jnp.float32):
                 raise ValueError(
-                    "median_impl='fused' is f32-only (the kernel's bitwise "
-                    "contract with the XLA search holds for f32, the only "
-                    "TPU-native float); use median_impl='xla' with "
-                    f"dtype={dtype}"
+                    f"median_impl={median_impl!r} is f32-only (the fused "
+                    "kernels compute in f32, the only TPU-native float); "
+                    f"use median_impl='xla' with dtype={dtype}"
+                )
+            if median_impl == "fused_gram" and kernel_impl != "pallas":
+                raise ValueError(
+                    "median_impl='fused_gram' computes the median block's "
+                    "Gram in-kernel — only a win when the step does NOT "
+                    "materialise D (kernel_impl='pallas'); with "
+                    "kernel_impl='xla' the strided rows of the step's own "
+                    "HIGHEST-precision D are free — use "
+                    "median_impl='fused'"
                 )
             if step_impl not in _STEP_IMPLS:
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
@@ -1142,6 +1291,7 @@ class SVGDSampler:
                     self._warm_step_fn = make_warm_step_fn(
                         log_p, self.unravel_fn, gd, warm_phi,
                         max_phi_norm=max_phi_norm, remat=remat,
+                        custom_grads=custom_grads,
                     )
                     self._warm_init_med = warm_phi.init_med
         else:
@@ -1150,20 +1300,24 @@ class SVGDSampler:
             # by RBF would sample the wrong posterior geometry).
             if kernel_impl not in ("xla", "pallas"):
                 raise ValueError(f"unknown kernel_impl: {kernel_impl!r}")
-            if median_impl not in ("xla", "fused"):
+            if median_impl not in ("xla", "fused", "fused_gram"):
                 raise ValueError(f"unknown median_impl: {median_impl!r}")
-            if median_impl == "fused":
+            if median_impl != "xla":
                 raise ValueError(
-                    "median_impl='fused' is single-device only (the mesh "
-                    "warm search psums counts across shards; the fused "
-                    "kernel cannot contain a collective)"
+                    f"median_impl={median_impl!r} is single-device only "
+                    "(the mesh warm search psums counts across shards; a "
+                    "kernel cannot contain the collective) — the mesh "
+                    "fused-median path is step_impl='fused_shard', whose "
+                    "bracket-pass kernel feeds the psum'd search"
                 )
-            if step_impl not in _STEP_IMPLS:
+            if step_impl not in _STEP_IMPLS + ("fused_shard",):
                 raise ValueError(f"unknown step_impl: {step_impl!r}")
-            if step_impl != "xla":
+            if step_impl not in ("xla", "fused_shard"):
                 raise ValueError(
                     f"step_impl={step_impl!r} is single-device only (the tail "
-                    "kernel cannot contain the mesh collectives)"
+                    "kernel cannot contain the mesh collectives); the mesh "
+                    "fused path is step_impl='fused_shard' — the tail split "
+                    "at its collectives (parallel/sharded_fused.py)"
                 )
             if quadratic_form is not None or inkernel_model is not None:
                 raise ValueError(
@@ -1172,6 +1326,42 @@ class SVGDSampler:
                     "kernels; the sharded steps compute gradients in XLA "
                     "(drop the hook or drop the mesh)"
                 )
+            if custom_grads is not None:
+                raise ValueError(
+                    "custom_grads= is single-device only: the sharded "
+                    "steps' gradient stage runs per shard on [n_local, p] "
+                    "blocks, a different contract than the hook's "
+                    "(theta [n, p], batch) -> (logp_vals, grads)"
+                )
+            if step_impl == "fused_shard":
+                if model_axis is not None:
+                    raise ValueError(
+                        "step_impl='fused_shard' runs on 1-D particle "
+                        "meshes only (the 2-D step tiles the model axis "
+                        "with its own psum'd Gram)"
+                    )
+                if comm != "all_gather":
+                    raise ValueError(
+                        "step_impl='fused_shard' requires comm="
+                        "'all_gather' (its kernels consume the gathered "
+                        f"column block; got comm={comm!r})"
+                    )
+                if not warm_median or median != "bisect":
+                    raise ValueError(
+                        "step_impl='fused_shard' fuses the warm-median "
+                        "scan path; set warm_median=True (and "
+                        "median='bisect')"
+                    )
+                if kernel is not None or kernel_impl != "xla":
+                    raise ValueError(
+                        "step_impl='fused_shard' requires the default "
+                        "RBF kernel and kernel_impl='xla' (its own "
+                        "streaming tile replaces the kernel stage)"
+                    )
+                if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+                    raise ValueError(
+                        "step_impl='fused_shard' is f32-only"
+                    )
             if warm_median:
                 if median != "bisect" or kernel is not None:
                     raise ValueError(
@@ -1227,7 +1417,24 @@ class SVGDSampler:
                         pallas_interpret=pallas_interpret,
                         pallas_precision=pallas_precision,
                     )
-                if warm_median:
+                if step_impl == "fused_shard":
+                    from .parallel.sharded_fused import (
+                        make_sharded_fused_warm_step,
+                    )
+                    self._warm_step_fn, self._warm_init_med = \
+                        make_sharded_fused_warm_step(
+                            log_p=log_p, unravel_fn=self.unravel_fn,
+                            gd=gd, n_particles=self.n_particles,
+                            state=state, mesh=mesh,
+                            particle_axis=particle_axis,
+                            max_phi_norm=max_phi_norm, remat=remat,
+                            median_max_rows=median_max_rows,
+                            median_passes=median_passes,
+                            warm_passes=warm_passes,
+                            pallas_block=pallas_block,
+                            pallas_interpret=pallas_interpret,
+                        )
+                elif warm_median:
                     from .parallel.sharded import make_sharded_warm_step
                     self._warm_step_fn, self._warm_init_med = \
                         make_sharded_warm_step(
@@ -1316,6 +1523,66 @@ class SVGDSampler:
                 multi, donate_argnums=(0,) if self._donate else ()
             )
         self.state, aux = self._jit_multi(self.state, batches)
+        return aux
+
+    def train_minibatched(self, data, n_steps, n_batch, key):
+        """Run ``n_steps`` minibatch SVGD steps in ONE device dispatch
+        with ON-DEVICE index sampling: ``data`` is the full dataset
+        pytree (leaves [n_rows, ...]) resident in HBM; every scanned
+        step derives its PRNG key from ``key`` (jax.random.fold_in on
+        the step index), draws ``n_batch`` uniform row indices, and
+        gathers its minibatch inside the scan — no host RNG, no
+        [k, n_batch, ...] staging through host memory, no per-chunk
+        re-dispatch. This is the full-scale epoch loop for datasets
+        like the real 581k-row Covertype (the reference re-feeds a host
+        -sampled batch per session call, logistic_regression/
+        main.py:72-79; pre-sampling index MATRICES per chunk —
+        train_on_batches — still moves O(k x n_batch x n_feats) through
+        the host at that scale).
+
+        Sampling semantics: uniform WITH replacement
+        (jax.random.randint). The reference uses np.random.choice(...,
+        replace=False); drawing 50 of ~465k rows collides with
+        probability ~0.3% per step, statistically invisible — while an
+        on-device without-replacement draw costs a full n_rows sort
+        (jax.random.choice) per step. Documented trade, pinned by
+        tests/test_sampler.py::test_train_minibatched.
+
+        Returns aux with a leading [n_steps] axis."""
+        n_rows = jax.tree_util.tree_leaves(data)[0].shape[0]
+        cache_key = (int(n_steps), int(n_batch), n_rows)
+        if getattr(self, "_jit_mb_key", None) != cache_key:
+            n_steps_c, n_batch_c = int(n_steps), int(n_batch)
+
+            def draw(data, key, i):
+                idx = jax.random.randint(
+                    jax.random.fold_in(key, i), (n_batch_c,), 0, n_rows
+                )
+                return jax.tree_util.tree_map(lambda l: l[idx], data)
+
+            if self._warm_step_fn is not None:
+                def multi(state, data, key):
+                    med0 = self._warm_init_med(state.particles).astype(
+                        state.particles.dtype
+                    )
+                    (s, _), aux = jax.lax.scan(
+                        lambda c, i: self._warm_step_fn(
+                            c, draw(data, key, i)
+                        ),
+                        (state, med0), jnp.arange(n_steps_c),
+                    )
+                    return s, aux
+            else:
+                def multi(state, data, key):
+                    return jax.lax.scan(
+                        lambda s, i: self._step_fn(s, draw(data, key, i)),
+                        state, jnp.arange(n_steps_c),
+                    )
+            self._jit_mb = jax.jit(
+                multi, donate_argnums=(0,) if self._donate else ()
+            )
+            self._jit_mb_key = cache_key
+        self.state, aux = self._jit_mb(self.state, data, key)
         return aux
 
     @property

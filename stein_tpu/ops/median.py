@@ -432,9 +432,15 @@ def _warm_search(D, med_prev, warm_passes, brackets=None,
         cnts = [(flat[2 * i], flat[2 * i + 1]) for i in range(len(cnts))]
 
     lo0, hi0 = select_bracket(med_prev, ends, cnts, k_c, lo_full, hi_full)
+    return _quad_rounds(D, lo0, hi0, k_c, (warm_passes + 1) // 2, cdt,
+                        axis_name)
 
-    rounds = (warm_passes + 1) // 2
 
+def _quad_rounds(D, lo0, hi0, k_c, rounds, cdt, axis_name=None):
+    """The warm search's quad-ary refinement rounds (2 bits per
+    sequential count pass; one batched psum per round when sharded) —
+    factored so the fused-bracket mesh path (sharded_warm_from_bracket)
+    provably runs the identical interval arithmetic as _warm_search."""
     def body(_, carry):
         lo, hi = carry
         w = 0.25 * (hi - lo)
@@ -451,6 +457,33 @@ def _warm_search(D, med_prev, warm_passes, brackets=None,
 
     lo, hi = jax.lax.fori_loop(0, rounds, body, (lo0, hi0))
     return 0.5 * (lo + hi)
+
+
+def sharded_warm_from_bracket(D, med_prev, mm, cnts_local, axis_name,
+                              total, warm_passes=8,
+                              brackets=DEFAULT_BRACKETS):
+    """Finish the SHARDED warm search whose pass-1 work (the local block
+    range and bracket endpoint counts) was already computed — by the
+    fused bracket kernel (ops/pallas_median.fused_bracket_pass), whose
+    collectives cannot live inside the kernel. ``mm`` is the local
+    [-min(D, 0), max(D)] pair (ONE pmax here), ``cnts_local`` the local
+    [2 * n_brackets] endpoint counts (ONE batched psum), ``D`` the local
+    block the quad-ary rounds count over (one psum per round — the same
+    collective structure, interval arithmetic, and rank logic as
+    _warm_search's sharded mode, via the shared select_bracket and
+    _quad_rounds)."""
+    k = (total + 1) // 2
+    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
+    k_c = jnp.asarray(k, cdt)
+    mm_g = jax.lax.pmax(mm, axis_name)
+    cnts_g = jax.lax.psum(cnts_local.astype(cdt), axis_name)
+    ends = [(lo * med_prev, hi * med_prev) for lo, hi in brackets]
+    cnt_pairs = [(cnts_g[2 * i], cnts_g[2 * i + 1])
+                 for i in range(len(brackets))]
+    lo0, hi0 = select_bracket(med_prev, ends, cnt_pairs, k_c,
+                              -mm_g[0], mm_g[1])
+    return _quad_rounds(D, lo0, hi0, k_c, (warm_passes + 1) // 2, cdt,
+                        axis_name)
 
 
 def _local_row_idx(n_loc, axis_name, max_rows):

@@ -88,6 +88,163 @@ def _warm_kernel(med_ref, D_ref, out_ref, *, k, rounds, brackets):
     )
 
 
+def _bracket_gram_kernel(med_ref, center_ref, rows_ref, cols_ref,
+                         d_ref, mm_ref, cnt_ref, *, brackets):
+    """Local half of the SHARDED warm search's pass 1, fused with the
+    median block's Gram: centered D_sub = r + r^T - 2 R C^T from the
+    in-kernel dot (bf16-class inputs / f32 accumulation — the
+    fused_gram numerics class, mean-centered for off-origin robustness
+    like ops/pallas_step._tail_kernel), plus the block range and every
+    candidate bracket endpoint's count, all in ONE kernel invocation.
+    The collectives the sharded search needs (psum of counts, pmax of
+    range) CANNOT live inside the kernel — the caller psums these
+    outputs and runs the quad-ary rounds on the emitted D_sub
+    (ops/median.sharded_warm_from_bracket)."""
+    c = center_ref[:]
+    rows = rows_ref[:] - c
+    cols = cols_ref[:] - c
+    rsq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
+    rsq_c = jnp.sum(cols * cols, axis=1, keepdims=True)
+    D = (rsq_r + rsq_c.reshape(1, cols.shape[0])
+         - 2.0 * jnp.dot(rows, cols.T,
+                         preferred_element_type=jnp.float32))
+    d_ref[:] = D
+    med_prev = med_ref[0]
+    # Range as [-lo, hi] so the caller's cross-shard reduce is ONE pmax.
+    mm_ref[0] = -jnp.minimum(jnp.min(D), 0.0)
+    mm_ref[1] = jnp.max(D)
+    for i, (lo_m, hi_m) in enumerate(brackets):
+        cnt_ref[2 * i] = jnp.sum(
+            (D <= lo_m * med_prev).astype(jnp.int32))
+        cnt_ref[2 * i + 1] = jnp.sum(
+            (D <= hi_m * med_prev).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("brackets", "interpret"),
+)
+def fused_bracket_pass(rows, cols, med_prev, center,
+                       brackets=DEFAULT_BRACKETS, interpret=False):
+    """One-kernel bracket pass for the sharded warm median: computes the
+    shard's [m, n] centered distance block IN-KERNEL (no XLA Gram stage,
+    no separate reduction kernels) and returns
+
+      (D_sub [m, n] f32, mm [2] f32 = [-min(D,0), max(D)],
+       cnts [2 * n_brackets] int32)
+
+    for the caller to pmax/psum across the particle axis before
+    ops/median.sharded_warm_from_bracket finishes the search on D_sub.
+    f32 only; the block plus both operand matrices must fit VMEM —
+    callers gate with ``bracket_pass_fits``."""
+    m, p = rows.shape
+    n = cols.shape[0]
+    if rows.dtype != jnp.float32 or cols.dtype != jnp.float32:
+        raise TypeError(
+            f"fused bracket pass is f32-only (got rows={rows.dtype}, "
+            f"cols={cols.dtype})"
+        )
+    if m * n >= 2 ** 31:
+        raise ValueError(
+            f"fused bracket pass: {m}x{n} block exceeds int32 counts"
+        )
+    f32 = jnp.float32
+    med = jnp.asarray(med_prev).astype(f32).reshape(1)
+    c = jnp.asarray(center, f32).reshape(1, p)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    D, mm, cnts = pl.pallas_call(
+        functools.partial(_bracket_gram_kernel, brackets=brackets),
+        in_specs=[smem, vmem, vmem, vmem],
+        out_specs=[vmem, smem, smem],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), f32),
+            jax.ShapeDtypeStruct((2,), f32),
+            jax.ShapeDtypeStruct((2 * len(brackets),), jnp.int32),
+        ],
+        interpret=interpret,
+    )(med, c, rows, cols)
+    return D, mm, cnts
+
+
+def bracket_pass_fits(m, n, p):
+    """VMEM gate for fused_bracket_pass: the [m, n] block, the [m, p] and
+    [n, p] operands, and reduction temporaries (~1.5x the block for the
+    compare masks) within ~12 MiB of the 16 MiB/core budget."""
+    return 4 * (int(m) * n + (m + n) * p) * 5 // 2 <= 12 * 2 ** 20
+
+
+def _warm_from_theta_kernel(med_ref, center_ref, rows_ref, cols_ref,
+                            out_ref, *, k, rounds, brackets):
+    c = center_ref[:]
+    rows = rows_ref[:] - c
+    cols = cols_ref[:] - c
+    rsq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
+    rsq_c = jnp.sum(cols * cols, axis=1, keepdims=True)
+    D = (rsq_r + rsq_c.reshape(1, cols.shape[0])
+         - 2.0 * jnp.dot(rows, cols.T,
+                         preferred_element_type=jnp.float32))
+    out_ref[0] = warm_search_on_value(
+        D, med_ref[0], k=k, rounds=rounds, brackets=brackets,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("warm_passes", "brackets", "interpret"),
+)
+def fused_warm_median_from_theta(rows, cols, med_prev, center,
+                                 warm_passes=8,
+                                 brackets=DEFAULT_BRACKETS,
+                                 interpret=False):
+    """The ENTIRE single-device warm median — the [m, n] distance block's
+    Gram AND the bracket+quad-ary search — in ONE Pallas kernel, with D
+    never leaving VMEM (median_impl='fused_gram').
+
+    Why: `fused_warm_median_rows` takes D_sub precomputed by an XLA
+    Precision.HIGHEST Gram, which at large p dominates the whole step —
+    at the Bayesian-NN shape (m=512, n=1000, p=303) that 6-pass Gram is
+    ~50 us of an ~90 us step while the kernels it feeds total ~15 us.
+    The in-kernel dot runs ~5x the HIGHEST rate (RESULTS.md r3) at
+    bf16-class input precision, so the median moves to the fused_gram
+    numerics class: NOT bitwise-equal to the XLA search (the counts see
+    a ~2e-3-relative D), the same class as step_impl='fused_gram''s
+    in-kernel median block — a heuristic-bandwidth tolerance pinned by
+    the statistical posterior suites. Mean-CENTERED like every in-kernel
+    Gram (off-origin robustness, benchmarks/centering_probe.py); pass
+    the particle mean as ``center`` ([1, p]).
+
+    f32 only; gate shapes with ``bracket_pass_fits(m, n, p)`` (the
+    caller falls back to the HIGHEST-Gram path above it — strictly MORE
+    accurate, never silently worse)."""
+    m, p = rows.shape
+    n = cols.shape[0]
+    if rows.dtype != jnp.float32 or cols.dtype != jnp.float32:
+        raise TypeError(
+            f"fused_warm_median_from_theta is f32-only (got "
+            f"rows={rows.dtype}, cols={cols.dtype})"
+        )
+    total = m * n
+    if total >= 2 ** 31:
+        raise ValueError(
+            f"fused warm median: {m}x{n} block exceeds int32 counts"
+        )
+    f32 = jnp.float32
+    med = jnp.asarray(med_prev).astype(f32).reshape(1)
+    c = jnp.asarray(center, f32).reshape(1, p)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _warm_from_theta_kernel, k=(total + 1) // 2,
+            rounds=(warm_passes + 1) // 2, brackets=brackets,
+        ),
+        in_specs=[smem, vmem, vmem, vmem],
+        out_specs=smem,
+        out_shape=jax.ShapeDtypeStruct((1,), f32),
+        interpret=interpret,
+    )(med, c, rows, cols)
+    return out[0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("warm_passes", "brackets", "interpret"),

@@ -240,3 +240,85 @@ def test_linreg_sufficient_stats_exact():
 
     np.testing.assert_allclose(run(suff), run(batch), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_pallas_grads_match_autodiff():
+    """BayesianNNModel.pallas_grads (the hand-derived elementwise
+    backward as one Pallas kernel — SVGDSampler's custom_grads hook)
+    must reproduce vmap(value_and_grad(log_p)) to f32 reassociation
+    tolerance, including the Gamma-hyperprior and /n_train scalings,
+    across feature counts and particle counts spanning the kernel's
+    row-block grid (the n > block_rows case exercises padding)."""
+    from stein_tpu.models import BayesianNNModel
+    from stein_tpu.utils.ravel import template_unraveler
+
+    rng = np.random.default_rng(0)
+    for n, B, f, H in ((64, 20, 1, 100), (600, 12, 3, 50)):
+        model = BayesianNNModel(f, H, n_train=5 * B, n_batch=B,
+                                prior_beta=10.0)
+        n_params, unravel = template_unraveler(model.template())
+        theta = jnp.asarray(rng.normal(size=(n, n_params)) * 0.3,
+                            jnp.float32)
+        X = rng.uniform(size=(B, f)).astype(np.float32)
+        y = (np.cos(10 * X[:, :1]) * (5 * X[:, :1])
+             + rng.normal(size=(B, 1)) * 0.1)
+        batch = {"X": jnp.asarray(X, jnp.float32),
+                 "y": jnp.asarray(y, jnp.float32)}
+        ga = jax.vmap(
+            jax.value_and_grad(
+                lambda row, b: model.log_p(unravel(row), b)
+            ),
+            in_axes=(0, None),
+        )
+        lp_ref, g_ref = ga(theta, batch)
+        grad_all = model.pallas_grads(interpret=True)
+        lp, g = grad_all(theta, batch, block_rows=256)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lp_ref), rtol=2e-5, atol=1e-5
+        )
+        scale = np.abs(np.asarray(g_ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), atol=2e-5 * scale
+        )
+
+
+def test_custom_grads_sampler_matches_autodiff():
+    """A sampler driven by the Pallas gradient kernel (custom_grads=)
+    tracks the autodiff sampler over several warm-scan steps (interpret
+    mode: exact f32 kernels; only fp reassociation differs), and the
+    option surface fails loudly where the hook cannot apply."""
+    import pytest
+    from jax.sharding import Mesh
+    from stein_tpu.models import BayesianNNModel
+
+    rng = np.random.default_rng(1)
+    n, B, f, H = 128, 16, 1, 20
+    model = BayesianNNModel(f, H, n_train=B, n_batch=B, prior_beta=10.0)
+    X = rng.uniform(size=(B, f)).astype(np.float32)
+    y = np.cos(10 * X) * (5 * X) + rng.normal(size=(B, 1)) * 0.1
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    def make(**kw):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adam(learning_rate=1e-1), key=jax.random.PRNGKey(2),
+            median="bisect", warm_median=True, **kw,
+        )
+
+    a = make()
+    b = make(custom_grads=model.pallas_grads(interpret=True))
+    a.run(batch, 5)
+    b.run(batch, 5)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=2e-4,
+                               atol=1e-6)
+
+    with pytest.raises(ValueError, match="custom_grads"):
+        make(custom_grads=model.pallas_grads(interpret=True), remat=True)
+    with pytest.raises(ValueError, match="single-device"):
+        make(custom_grads=model.pallas_grads(interpret=True),
+             mesh=Mesh(np.asarray(jax.devices()[:1]), ("particles",)))
+    with pytest.raises(ValueError, match="custom_grads"):
+        make(custom_grads=model.pallas_grads(interpret=True),
+             step_impl="fused_gram", median_impl="fused")

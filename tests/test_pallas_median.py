@@ -206,3 +206,121 @@ def test_fused_small_block_falls_back_to_xla():
     a.run(batch, 3)
     b.run(batch, 3)
     np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_fused_warm_median_from_theta_matches_reference():
+    """median_impl='fused_gram''s kernel (Gram + whole warm search in
+    ONE invocation): in interpret mode the in-kernel dot is exact f32,
+    so the result must equal the XLA warm search run on the same
+    CENTERED distance block (centering is the kernel's documented
+    off-origin guard; D is translation-invariant up to fp)."""
+    from stein_tpu.ops.median import (
+        _warm_search,
+        row_subsample_block,
+        subsample_rows,
+    )
+    from stein_tpu.ops.pallas_median import fused_warm_median_from_theta
+
+    rng = np.random.default_rng(0)
+    n, p, m_rows = 600, 8, 512
+    theta = jnp.asarray(rng.normal(size=(n, p)) * 0.7 + 3.0, jnp.float32)
+    med_prev = jnp.float32(0.0)
+    center = jnp.mean(theta, axis=0, keepdims=True)
+    got = fused_warm_median_from_theta(
+        subsample_rows(theta, m_rows) if n > m_rows else theta,
+        theta, med_prev, center, warm_passes=16, interpret=True,
+    )
+    tc = theta - center
+    want = _warm_search(
+        row_subsample_block(tc, m_rows), med_prev, 16
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    # And it's a faithful median: compare to the exact subsample median.
+    exact = float(jnp.median(row_subsample_block(theta, m_rows)))
+    np.testing.assert_allclose(float(got), exact, rtol=2e-2)
+
+
+def test_sampler_fused_gram_median_tracks_fused():
+    """The whole sampler at median_impl='fused_gram' (interpret mode:
+    exact f32 dots) tracks median_impl='fused' — the only differences
+    are the centered Gram's fp order, so trajectories agree to f32
+    class over a few steps; both scan (run) and cold (train_on_batch)
+    paths."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(3)
+    n, p = 512, 8
+    X = rng.normal(size=(64, p))
+    y = X @ rng.normal(size=(p, 1))
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    def make(median_impl):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            theta=theta0, median="bisect", warm_median=True,
+            kernel_impl="pallas", median_impl=median_impl,
+            pallas_interpret=True,
+        )
+
+    a, b = make("fused"), make("fused_gram")
+    a.run(batch, 5)
+    b.run(batch, 5)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-4,
+                               atol=1e-7)
+    c = make("fused_gram")
+    for _ in range(3):
+        c.train_on_batch(batch)
+    assert np.isfinite(np.asarray(c.samples)).all()
+
+
+def test_fused_gram_requires_pallas_kernel():
+    """median_impl='fused_gram' with kernel_impl='xla' is refused: the
+    XLA step materialises D at HIGHEST anyway, so recomputing the
+    median block in-kernel would change its numerics for no win."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    model = LinearRegressionModel(4)
+    with pytest.raises(ValueError, match="fused_gram"):
+        SVGDSampler(
+            n_particles=64, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            median="bisect", median_impl="fused_gram",
+        )
+
+
+def test_fused_gram_small_or_large_falls_back():
+    """Shapes outside the from-theta kernel's envelope (below the
+    quad-ary regime, or blocks past the VMEM gate) take the
+    HIGHEST-Gram 'fused' path — strictly more accurate, bitwise equal
+    to median_impl='fused' by construction."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(6)
+    n, p = 120, 4     # 120x120 = 14.4k entries < 100k: below the regime
+    X = rng.normal(size=(40, p))
+    y = X @ rng.normal(size=(p, 1))
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    def make(median_impl):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            theta=theta0, median="bisect", warm_median=True,
+            kernel_impl="pallas", median_impl=median_impl,
+            pallas_interpret=True,
+        )
+
+    a, b = make("fused"), make("fused_gram")
+    a.run(batch, 3)
+    b.run(batch, 3)
+    np.testing.assert_array_equal(a.samples, b.samples)

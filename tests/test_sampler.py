@@ -284,11 +284,13 @@ def test_throughput_config_decision_tree():
     assert cfg["median_max_rows"] == 128
     assert "step_impl" not in cfg
     # Small n but large p (fused tail exceeds its VMEM gate): the
-    # streaming tile beats the XLA phi (benchmarks/nn_phi_probe.py,
-    # the Bayesian-NN shape).
+    # streaming tile + the gram-in-kernel median (the HIGHEST D_sub
+    # Gram dominated this shape's phi — RESULTS.md r4).
     cfg = throughput_config(1000, 303)
     assert cfg.get("kernel_impl") == "pallas"
-    assert cfg["pallas_block"] == 256 and "step_impl" not in cfg
+    assert cfg["pallas_block"] == 512 and "step_impl" not in cfg
+    assert cfg["median_impl"] == "fused_gram"
+    assert cfg["median_max_rows"] == 128
     # Non-f32 (incl. string spellings): no fused/Pallas f32 kernels at
     # any size — the all-XLA path keeps the requested precision.
     for dt in (jnp.float64, "float64"):
@@ -298,21 +300,32 @@ def test_throughput_config_decision_tree():
     # String f32 spelling still gets the fused path.
     assert throughput_config(
         1000, 128, dtype="float32")["step_impl"] == "fused_gram"
-    # Mesh: psum'd searches only; 2-D meshes never get the Pallas tile.
+    # 1-D meshes: fused_shard (the fused tail split at its collectives,
+    # benchmarks/mesh_fused_probe.py r4) whenever the bracket kernel's
+    # VMEM gate admits the shape — both the small-n and the NN (large-p)
+    # shapes measured faster than the r3 picks.
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
-    cfg = throughput_config(8192, 64, mesh=mesh)
-    assert "median_impl" not in cfg and "step_impl" not in cfg
-    assert cfg["mesh"] is mesh and cfg.get("kernel_impl") == "pallas"
-    # Mesh large-p rule (benchmarks/nn_mesh_probe.py): small n but
-    # p >= 256 takes the rect tile; small n AND small p stays XLA.
+    cfg = throughput_config(1000, 128, mesh=mesh)
+    assert cfg["step_impl"] == "fused_shard"
+    assert cfg["pallas_block"] == 256 and "kernel_impl" not in cfg
     cfg = throughput_config(1000, 303, mesh=mesh)
+    assert cfg["step_impl"] == "fused_shard"
+    # Large n inside the bracket gate: fused_shard keeps the large-n
+    # tile block (256 measured 524 vs 307.6 us at n=8192).
+    cfg = throughput_config(8192, 64, mesh=mesh)
+    assert cfg["step_impl"] == "fused_shard"
+    assert cfg["pallas_block"] == 1024 and cfg["mesh"] is mesh
+    # Beyond the bracket gate: the streaming tile alone (r3 rule).
+    cfg = throughput_config(16384, 128, mesh=mesh)
+    assert "median_impl" not in cfg and "step_impl" not in cfg
     assert cfg.get("kernel_impl") == "pallas"
-    assert cfg["pallas_block"] == 256
-    assert "kernel_impl" not in throughput_config(1000, 128, mesh=mesh)
+    assert cfg["pallas_block"] == 1024
+    # 2-D meshes: XLA-tiled, no fused paths.
     mesh2d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
                   ("particles", "model"))
     cfg2d = throughput_config(8192, 64, mesh=mesh2d, model_axis="model")
-    assert "kernel_impl" not in cfg2d and cfg2d["model_axis"] == "model"
+    assert "kernel_impl" not in cfg2d and "step_impl" not in cfg2d
+    assert cfg2d["model_axis"] == "model"
 
     # EVERY branch constructs a sampler (construction runs the full
     # option-validation chain; jit compilation is lazy so this is cheap),
@@ -329,7 +342,8 @@ def test_throughput_config_decision_tree():
 
     construct(4096, throughput_config(4096, 4))          # large-n branch
     construct(1000, throughput_config(1000, 303), p=303)  # large-p branch
-    construct(8192, throughput_config(8192, 4, mesh=mesh))      # 1-D mesh
+    construct(64, throughput_config(64, 4, mesh=mesh))    # mesh fused_shard
+    construct(8192, throughput_config(8192, 4, mesh=mesh))  # mesh tile
     construct(8192, throughput_config(8192, 4, mesh=mesh2d,
                                       model_axis="model"))      # 2-D mesh
     for n, base in ((64, throughput_config(64, 4)),
@@ -362,6 +376,17 @@ def test_throughput_config_model_hooks():
     cfg_lr = throughput_config(64, 5, model=logreg)
     assert cfg_lr["step_impl"] == "fused_model"
     assert cfg_lr["inkernel_model"] == logreg.inkernel_model
+
+    # Large-p branch + a model exposing pallas_grads: the gradient
+    # kernel rides along (NN shape 65.4 -> 53.1 us, RESULTS.md r4).
+    from stein_tpu.models import BayesianNNModel
+    nn = BayesianNNModel(1, 100, n_train=20, n_batch=20)
+    cfg_nn = throughput_config(1000, 303, model=nn)
+    assert callable(cfg_nn["custom_grads"])
+    assert cfg_nn["median_impl"] == "fused_gram"
+    # ...but not off the large-p branch (the fused tails / XLA small-n
+    # path own their gradient stage).
+    assert "custom_grads" not in throughput_config(64, 4, model=nn)
 
     # A model exposing NEITHER hook keeps fused_gram.
     class Bare:
@@ -530,3 +555,46 @@ def test_exact_median_large_n_warns():
             gd=Adam(learning_rate=1e-1), dtype=jnp.float32,
             median="bisect",
         )
+
+
+def test_train_minibatched():
+    """On-device minibatch sampling (train_minibatched): deterministic
+    given the key, converges on a logistic problem like host-sampled
+    minibatches do, and leaves no NaNs. (Uniform WITH replacement — the
+    documented trade vs the reference's np.random.choice
+    replace=False.)"""
+    from stein_tpu.models import LogisticRegressionModel
+
+    rng = np.random.default_rng(0)
+    n_rows, d, n, n_batch = 2000, 8, 64, 32
+    X = rng.normal(size=(n_rows, d)).astype(np.float32)
+    w_true = rng.normal(size=(d, 1))
+    y = (X @ w_true > 0).astype(np.float32)
+    data = {"X": jnp.asarray(X), "y": jnp.asarray(y)}
+    model = LogisticRegressionModel(d, n_train=n_rows, n_batch=n_batch)
+
+    def make():
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(),
+            gd=Adam(learning_rate=1e-1), key=jax.random.PRNGKey(1),
+            median="bisect", warm_median=True,
+        )
+
+    key = jax.random.PRNGKey(3)
+    a, b = make(), make()
+    a.train_minibatched(data, 300, n_batch, key)
+    b.train_minibatched(data, 300, n_batch, key)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    sa = np.asarray(a.samples)
+    assert np.isfinite(sa).all()
+    # Converged enough to classify: particle-averaged logits get > 90%
+    # of the (noise-free) labels right (ravel layout: log_alpha is
+    # column 0 — keys flatten sorted).
+    w_mean = a.theta["w"].mean(axis=0)
+    acc = np.mean((X @ np.asarray(w_mean) > 0) == (y > 0.5))
+    assert acc > 0.9, acc
+    # A different key gives a different (but also finite) trajectory.
+    c = make()
+    c.train_minibatched(data, 300, n_batch, jax.random.PRNGKey(4))
+    assert not np.array_equal(np.asarray(c.samples), sa)

@@ -574,3 +574,175 @@ def test_ring_warm_pallas_matches_single():
     np.testing.assert_allclose(
         ring.samples, single.samples, rtol=1e-5, atol=1e-8
     )
+
+
+def _linreg_f32(seed=0, n_obs=40, n_feats=3, n_particles=16):
+    theta0, model, batch = _linreg(seed, n_obs, n_feats, n_particles)
+    return (
+        jnp.asarray(theta0, jnp.float32), model,
+        jax.tree_util.tree_map(
+            lambda l: jnp.asarray(l, jnp.float32), batch
+        ),
+    )
+
+
+@requires_8_devices
+def test_fused_shard_matches_single_device():
+    """step_impl='fused_shard' (the r3 fused tail split at its
+    collectives — parallel/sharded_fused.py): on an 8-device mesh the
+    scan trajectories must track BOTH single-device comparators:
+
+    - the single-device fused_gram+fused-median step (the SAME numerics
+      class: in-kernel centered Gram feeding median counts and tiles) —
+      tight tolerance, medians near-bitwise (the interpret-mode dots are
+      exact f32; only the XLA-vs-in-kernel center/tile accumulation
+      order differs);
+    - the all-XLA f32 warm mesh-free step — class tolerance."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float32), theta=theta0,
+        dtype=jnp.float32, median="bisect", warm_median=True,
+        warm_passes=8,
+    )
+    fs = SVGDSampler(gd=Adam(learning_rate=1e-1), mesh=mesh,
+                     step_impl="fused_shard", pallas_interpret=True,
+                     **common)
+    aux_f = fs.run(batch, 5)
+    sg = SVGDSampler(gd=Adam(learning_rate=1e-1), step_impl="fused_gram",
+                     median_impl="fused", pallas_interpret=True, **common)
+    aux_g = sg.run(batch, 5)
+    sx = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    sx.run(batch, 5)
+    np.testing.assert_allclose(
+        fs.samples, sg.samples, rtol=5e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        fs.samples, sx.samples, rtol=5e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_f["median"]), np.asarray(aux_g["median"]),
+        rtol=1e-6,
+    )
+    # Adagrad through the fused epilogue's in-kernel update rule too.
+    fa = SVGDSampler(gd=Adagrad(learning_rate=1e-1), mesh=mesh,
+                     step_impl="fused_shard", pallas_interpret=True,
+                     **common)
+    fa.run(batch, 3)
+    xa = SVGDSampler(gd=Adagrad(learning_rate=1e-1), **common)
+    xa.run(batch, 3)
+    np.testing.assert_allclose(
+        fa.samples, xa.samples, rtol=5e-5, atol=1e-7
+    )
+
+
+@requires_8_devices
+def test_fused_shard_epilogue_ab_equal():
+    """The fused epilogue kernel (phi combine + clip + in-kernel
+    optimizer) and the plain-XLA epilogue compute the same step to the
+    update_kernel's ~1-ulp pow-twin tolerance — the A/B that lets the
+    benchmark pick per regime without a semantics question."""
+    from stein_tpu.parallel.sharded_fused import (
+        make_sharded_fused_warm_step,
+    )
+    from stein_tpu.api import SVGDState
+
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    gd = Adam(learning_rate=1e-1)
+    n = theta0.shape[0]
+    outs = {}
+    for mode in ("fused", "xla"):
+        sampler = SVGDSampler(
+            n_particles=n, log_p=model.log_p, gd=gd,
+            param_template=model.template(jnp.float32), theta=theta0,
+            dtype=jnp.float32, median="bisect", warm_median=True,
+        )
+        step_fn, init_med = make_sharded_fused_warm_step(
+            model.log_p, sampler.unravel_fn, gd, n, sampler.state, mesh,
+            pallas_interpret=True, epilogue=mode,
+        )
+        from stein_tpu.parallel.sharded import shard_state
+        state = shard_state(sampler.state, mesh, "particles")
+        med = init_med(state.particles)
+        carry = (state, med)
+        for _ in range(3):
+            carry, aux = jax.jit(step_fn)(carry, batch)
+        outs[mode] = np.asarray(carry[0].particles)
+    # ~1 ulp/step from update_kernel's exp/log pow twin, amplified over
+    # the 3 steps (measured max 2.8e-6).
+    np.testing.assert_allclose(
+        outs["fused"], outs["xla"], rtol=1e-5, atol=1e-9
+    )
+
+
+@requires_8_devices
+def test_fused_shard_guards():
+    """fused_shard's option surface fails loudly: f32-only, all_gather
+    only, 1-D particle meshes only, warm bisect only."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+
+    def make(**kw):
+        base = dict(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float32), theta=theta0,
+            dtype=jnp.float32, mesh=mesh, step_impl="fused_shard",
+            median="bisect", warm_median=True, pallas_interpret=True,
+        )
+        base.update(kw)
+        return SVGDSampler(gd=Adam(learning_rate=1e-1), **base)
+
+    with pytest.raises(ValueError, match="f32-only"):
+        make(dtype=jnp.float64,
+             param_template=model.template(jnp.float64),
+             theta=jnp.asarray(theta0, jnp.float64))
+    with pytest.raises(ValueError, match="all_gather"):
+        make(comm="ring")
+    with pytest.raises(ValueError, match="warm-median"):
+        make(warm_median=False)
+    with pytest.raises(ValueError, match="kernel_impl='xla'"):
+        make(kernel_impl="pallas")
+    from jax.sharding import Mesh
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                  ("particles", "model"))
+    with pytest.raises(ValueError, match="1-D particle"):
+        make(mesh=mesh2d, model_axis="model")
+    # Single-device fused_shard is meaningless (no collectives to split).
+    with pytest.raises(ValueError, match="unknown step_impl|single-device"):
+        SVGDSampler(
+            gd=Adam(learning_rate=1e-1), n_particles=theta0.shape[0],
+            log_p=model.log_p,
+            param_template=model.template(jnp.float32), theta=theta0,
+            dtype=jnp.float32, step_impl="fused_shard",
+            median="bisect", warm_median=True,
+        )
+
+
+@requires_8_devices
+def test_fused_shard_checkpoint_roundtrip(tmp_path):
+    """save/restore across the fused_shard step: the restored sampler
+    continues the exact trajectory (same contract as the other mesh
+    steps)."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+
+    def make():
+        return SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float32), theta=theta0,
+            dtype=jnp.float32, mesh=mesh, step_impl="fused_shard",
+            median="bisect", warm_median=True, pallas_interpret=True,
+            gd=Adam(learning_rate=1e-1),
+        )
+
+    a = make()
+    a.run(batch, 3)
+    path = tmp_path / "ck.npz"
+    a.save(path)
+    a.run(batch, 2)
+    b = make()
+    b.restore(path)
+    b.run(batch, 2)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-6, atol=1e-9)
