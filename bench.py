@@ -251,14 +251,24 @@ def bench_covertype_e2e(reps=3):
     key = jax.random.PRNGKey(7)
     sampler.train_minibatched(data, n_iters, n_batch, key)  # compile
     np.asarray(sampler.state.particles)
-    best = float("inf")
-    for _ in range(reps):
-        sampler = make()
-        t0 = time.perf_counter()
-        sampler.train_minibatched(data, n_iters, n_batch, key)
-        np.asarray(sampler.state.particles)
-        best = min(best, time.perf_counter() - t0)
-    return n_iters, best
+
+    # Two-count slope over whole 6000-iter dispatches (same methodology
+    # as slope_time): absolute single-dispatch timing swallowed the
+    # tunnel's fetch RTT, which under host load measured ~1 s —
+    # bimodal 0.35/1.36 s readings for identical device work.
+    def timed(n_dispatch):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_dispatch):
+                sampler.train_minibatched(data, n_iters, n_batch, key)
+            np.asarray(sampler.state.particles)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    t3 = timed(3)
+    return n_iters, max(t3 - t1, 1e-9) / 2.0
 
 
 def bench_nn(K=2000, R=6, reps=3, measures=3):

@@ -111,20 +111,33 @@ def make_phi_fn(n_particles, median="exact", kernel_impl="xla",
         from .ops.median import subsample_rows
         from .ops.pallas_median import (
             bracket_pass_fits,
+            fused_block_ok,
             fused_warm_median_from_theta,
+            fused_warm_median_rows,
+            pallas_dist_block,
         )
         n, p = theta.shape
         rows = subsample_rows(theta, median_max_rows)
         if rows is None:
             rows = theta
         m = rows.shape[0]
-        if m * n <= 100_000 or not bracket_pass_fits(m, n, p):
+        if m * n <= 100_000:
             return None
         center = jnp.mean(theta, axis=0, keepdims=True)
-        return fused_warm_median_from_theta(
-            rows, theta, jnp.float32(0.0), center,
-            warm_passes=median_passes, interpret=pallas_interpret,
-        )
+        if bracket_pass_fits(m, n, p):
+            return fused_warm_median_from_theta(
+                rows, theta, jnp.float32(0.0), center,
+                warm_passes=median_passes, interpret=pallas_interpret,
+            )
+        if fused_block_ok(m, n):
+            D_sub = pallas_dist_block(
+                rows, theta, center, interpret=pallas_interpret,
+            )
+            return fused_warm_median_rows(
+                D_sub, jnp.float32(0.0), warm_passes=median_passes,
+                interpret=pallas_interpret,
+            )
+        return None
 
     if median == "exact":
         median_fn = lambda theta: exact_median(rbf.pairwise_sq_dists(theta))
@@ -272,29 +285,46 @@ def _make_warm_median_fns(median_max_rows=512, median_passes=30,
         return _warm_search(D_sub, med_prev, warm_passes)
 
     def _gram_in_kernel_med(theta, med_prev, passes):
-        """fused_gram path: rows/cols/center staged, D in-kernel. Returns
-        None when the shape is outside the kernel's envelope (caller
-        falls back to the HIGHEST-Gram block path)."""
+        """fused_gram path: rows/cols/center staged, D in-kernel. Small
+        shapes run Gram + the whole search in ONE kernel
+        (fused_warm_median_from_theta); above that kernel's VMEM gate
+        the block is built by the tiled in-kernel-dot Gram
+        (pallas_dist_block — the large-n case, where the XLA HIGHEST
+        Gram costs ~28 us/step at n=10240) and fed to the single-kernel
+        rows search. Returns None when neither applies (caller falls
+        back to the HIGHEST-Gram path — strictly more accurate)."""
         from .ops.median import subsample_rows
         from .ops.pallas_median import (
             bracket_pass_fits,
+            fused_block_ok,
             fused_warm_median_from_theta,
+            fused_warm_median_rows,
+            pallas_dist_block,
         )
         n, p = theta.shape
         rows = subsample_rows(theta, median_max_rows)
         if rows is None:
             rows = theta
         m = rows.shape[0]
-        if m * n <= 100_000 or not bracket_pass_fits(m, n, p):
+        if m * n <= 100_000:
             # Below the quad-ary regime the XLA dual-rank search is the
-            # exact-median semantics; above the VMEM gate the kernel
-            # cannot hold the block.
+            # exact-median semantics.
             return None
         center = jnp.mean(theta, axis=0, keepdims=True)
-        return fused_warm_median_from_theta(
-            rows, theta, med_prev, center, warm_passes=passes,
-            interpret=pallas_interpret,
-        )
+        if bracket_pass_fits(m, n, p):
+            return fused_warm_median_from_theta(
+                rows, theta, med_prev, center, warm_passes=passes,
+                interpret=pallas_interpret,
+            )
+        if fused_block_ok(m, n):
+            D_sub = pallas_dist_block(
+                rows, theta, center, interpret=pallas_interpret,
+            )
+            return fused_warm_median_rows(
+                D_sub, med_prev, warm_passes=passes,
+                interpret=pallas_interpret,
+            )
+        return None
 
     def compute_med(theta, med_prev):
         if median_impl == "fused_gram":
@@ -799,6 +829,12 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             if bracket_pass_fits(m_loc, n_particles, n_params):
                 cfg.update(step_impl="fused_shard",
                            pallas_block=1024 if large else 256)
+                if model is not None and hasattr(model,
+                                                 "quadratic_form"):
+                    # GLM: gather theta ONLY (half the collective
+                    # bytes) + one-dot gradients from the gathered
+                    # block (parallel/sharded_fused.py).
+                    cfg["quadratic_form"] = model.quadratic_form
             elif large:
                 # Beyond the bracket kernel's VMEM gate: the streaming
                 # tile alone (the r3 large-n mesh pick).
@@ -1319,12 +1355,20 @@ class SVGDSampler:
                     "fused path is step_impl='fused_shard' — the tail split "
                     "at its collectives (parallel/sharded_fused.py)"
                 )
-            if quadratic_form is not None or inkernel_model is not None:
+            if inkernel_model is not None:
                 raise ValueError(
-                    "quadratic_form=/inkernel_model= are consumed only by "
-                    "the single-device step_impl='fused_glm'/'fused_model' "
-                    "kernels; the sharded steps compute gradients in XLA "
-                    "(drop the hook or drop the mesh)"
+                    "inkernel_model= is consumed only by the single-device "
+                    "step_impl='fused_model' kernel; the sharded steps "
+                    "compute gradients in XLA (drop the hook or drop the "
+                    "mesh)"
+                )
+            if quadratic_form is not None and step_impl != "fused_shard":
+                raise ValueError(
+                    "on a mesh, quadratic_form= is consumed only by "
+                    "step_impl='fused_shard' (which then gathers theta "
+                    "ONLY — half the collective bytes — and derives the "
+                    "gradients from the gathered block); drop the hook "
+                    "or set step_impl='fused_shard'"
                 )
             if custom_grads is not None:
                 raise ValueError(
@@ -1433,6 +1477,7 @@ class SVGDSampler:
                             warm_passes=warm_passes,
                             pallas_block=pallas_block,
                             pallas_interpret=pallas_interpret,
+                            quadratic_form=quadratic_form,
                         )
                 elif warm_median:
                     from .parallel.sharded import make_sharded_warm_step

@@ -173,6 +173,52 @@ def bracket_pass_fits(m, n, p):
     return 4 * (int(m) * n + (m + n) * p) * 5 // 2 <= 12 * 2 ** 20
 
 
+def _dist_block_kernel(center_ref, rows_ref, cols_ref, out_ref):
+    c = center_ref[:]
+    rows = rows_ref[:] - c
+    cols = cols_ref[:] - c
+    rsq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
+    rsq_c = jnp.sum(cols * cols, axis=1, keepdims=True)
+    out_ref[:] = (rsq_r + rsq_c.reshape(1, cols.shape[0])
+                  - 2.0 * jnp.dot(rows, cols.T,
+                                  preferred_element_type=jnp.float32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_j", "interpret"),
+)
+def pallas_dist_block(rows, cols, center, block_j=1024, interpret=False):
+    """[m, n] centered squared-distance block via the in-kernel dot,
+    gridded over column tiles — the LARGE-n half of
+    median_impl='fused_gram', where the whole-block from-theta kernel
+    exceeds its VMEM gate but the emitted block still fits the fused
+    rows search (fused_block_ok). Replaces the XLA HIGHEST Gram that
+    costs ~28 us of the n=10240 step (in-kernel dot: ~5x the rate;
+    same fused_gram numerics class, same mean-centering guard).
+    Padded columns are trimmed before return (they would otherwise
+    enter the median counts)."""
+    m, p = rows.shape
+    n = cols.shape[0]
+    f32 = jnp.float32
+    bj = min(block_j, max(8, n))
+    n_pad = -(-n // bj) * bj
+    cols_p = jnp.pad(cols.astype(f32), ((0, n_pad - n), (0, 0))) \
+        if n_pad != n else cols.astype(f32)
+    out = pl.pallas_call(
+        _dist_block_kernel,
+        grid=(n_pad // bj,),
+        in_specs=[
+            pl.BlockSpec((1, p), lambda j: (0, 0)),      # center
+            pl.BlockSpec((m, p), lambda j: (0, 0)),      # rows
+            pl.BlockSpec((bj, p), lambda j: (j, 0)),     # cols tile
+        ],
+        out_specs=pl.BlockSpec((m, bj), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), f32),
+        interpret=interpret,
+    )(jnp.asarray(center, f32).reshape(1, p), rows.astype(f32), cols_p)
+    return out[:, :n]
+
+
 def _warm_from_theta_kernel(med_ref, center_ref, rows_ref, cols_ref,
                             out_ref, *, k, rounds, brackets):
     c = center_ref[:]

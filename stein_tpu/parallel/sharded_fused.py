@@ -71,14 +71,23 @@ def make_sharded_fused_warm_step(log_p, unravel_fn, gd, n_particles,
                                  warm_passes=8, pallas_block=256,
                                  pallas_interpret=False,
                                  brackets=DEFAULT_BRACKETS,
-                                 epilogue="xla"):
+                                 epilogue="xla", quadratic_form=None):
     """Build (warm_step_fn, init_med_fn) — the same contract as
     parallel/sharded.make_sharded_warm_step — for the fused mesh step.
     f32 / RBF / all_gather / 1-D particle mesh only (api.py guards);
     numerics class: the in-kernel centered Gram feeds BOTH the median
     counts and the kernel tiles (the single-device fused_gram class,
     pinned statistically), so medians/trajectories match the XLA mesh
-    step to that class, not bitwise."""
+    step to that class, not bitwise.
+
+    ``quadratic_form`` (optional; the fused_glm model hook — an
+    explicit log_p(w) = -0.5 w^T A w + b^T w + const) changes the
+    COMMUNICATION structure, not just the compute: gradients
+    b - theta A are derivable from the GATHERED particle block by one
+    [n, p] x [p, p] MXU dot, so the step gathers ONLY theta — HALF the
+    all-gather bytes (the dominant ICI volume of the all-gather layout)
+    — and drops the per-shard vmap-autodiff stage entirely. Per-
+    particle log_p values come from the local rows' quadratics."""
     axis = particle_axis
     n_dev = mesh.shape[axis]
     if n_particles % n_dev != 0:
@@ -112,9 +121,27 @@ def make_sharded_fused_warm_step(log_p, unravel_fn, gd, n_particles,
     def spmd_fused_step(carry, batch):
         state, med_prev = carry
         theta_loc = state.particles                      # [n_loc, p]
-        log_p_vals, grads_loc = grad_all(theta_loc, batch)
-        theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
-        grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
+        if quadratic_form is not None:
+            # GLM path: gather theta ONLY (half the collective bytes);
+            # gradients b - theta A from the gathered block, one MXU
+            # dot, replicated per shard. log_p values from the local
+            # rows' quadratics (aux only).
+            A_eff, b_eff, const = quadratic_form(batch)
+            theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
+            G_all = jnp.matmul(theta_all, A_eff,
+                               precision=jax.lax.Precision.HIGH)
+            grads_all = b_eff.reshape(1, -1) - G_all
+            n0 = jax.lax.axis_index(axis) * n_loc
+            G_loc = jax.lax.dynamic_slice_in_dim(G_all, n0, n_loc, 0)
+            log_p_vals = (
+                jnp.sum(theta_loc * (b_eff.reshape(1, -1) - 0.5 * G_loc),
+                        axis=1)
+                + const
+            )
+        else:
+            log_p_vals, grads_loc = grad_all(theta_loc, batch)
+            theta_all = jax.lax.all_gather(theta_loc, axis, tiled=True)
+            grads_all = jax.lax.all_gather(grads_loc, axis, tiled=True)
         # The ONE center anchoring every in-kernel Gram this step (the
         # bracket pass AND the tiles AND the combine): the global
         # particle mean, derived from the gathered block so every shard

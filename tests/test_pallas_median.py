@@ -324,3 +324,62 @@ def test_fused_gram_small_or_large_falls_back():
     a.run(batch, 3)
     b.run(batch, 3)
     np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_fused_gram_large_block_path():
+    """median_impl='fused_gram' above the one-kernel gate takes the
+    tiled pallas_dist_block + fused rows search (the large-n half;
+    measured negative at n=10240 so not a default — RESULTS.md r4 —
+    but the spelling must stay correct). Interpret mode: exact f32, so
+    it matches the 'fused' (HIGHEST-Gram) trajectory to centered-fp
+    tolerance, including a non-tile-multiple n (column padding must be
+    trimmed before the counts)."""
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.ops.median import subsample_rows
+    from stein_tpu.ops.pallas_median import (
+        bracket_pass_fits,
+        pallas_dist_block,
+        fused_warm_median_rows,
+    )
+    from stein_tpu.ops.median import row_subsample_block, _warm_search
+
+    rng = np.random.default_rng(5)
+    n, p, m = 3000, 640, 128  # past the one-kernel gate; n % 512 != 0
+    assert not bracket_pass_fits(m, n, p)
+    theta = jnp.asarray(rng.normal(size=(n, p)) + 2.0, jnp.float32)
+    rows = subsample_rows(theta, m)
+    center = jnp.mean(theta, axis=0, keepdims=True)
+    D = pallas_dist_block(rows, theta, center, block_j=512,
+                          interpret=True)
+    got = fused_warm_median_rows(D, jnp.float32(0.0), warm_passes=16,
+                                 interpret=True)
+    want = _warm_search(
+        row_subsample_block(theta - center, m), jnp.float32(0.0), 16
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    # End-to-end through the sampler dispatch (the fused_gram spelling
+    # at a large-block shape).
+    X = rng.normal(size=(64, p))
+    y = X @ rng.normal(size=(p, 1))
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+
+    import jax
+
+    def make(median_impl):
+        return SVGDSampler(
+            n_particles=n, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            key=jax.random.PRNGKey(0), median="bisect", warm_median=True,
+            kernel_impl="pallas", median_impl=median_impl,
+            median_max_rows=m, pallas_interpret=True,
+        )
+
+    a, b = make("fused"), make("fused_gram")
+    a.run(batch, 3)
+    b.run(batch, 3)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-4,
+                               atol=1e-7)

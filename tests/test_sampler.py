@@ -401,9 +401,13 @@ def test_throughput_config_model_hooks():
     assert "quadratic_form" not in big and "step_impl" not in big
     f64 = throughput_config(64, 4, model=lin, dtype=jnp.float64)
     assert "quadratic_form" not in f64
+    # On a 1-D mesh inside the fused_shard gate, the GLM hook is
+    # CONSUMED (r4): fused_shard gathers theta only and derives the
+    # gradients from the quadratic form.
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
     meshed = throughput_config(64, 4, model=lin, mesh=mesh)
-    assert "quadratic_form" not in meshed
+    assert meshed["step_impl"] == "fused_shard"
+    assert meshed["quadratic_form"] == lin.quadratic_form
 
     # End-to-end: both upgraded configs construct and run (interpret
     # mode; trajectory parity is pinned by tests/test_pallas_step.py).

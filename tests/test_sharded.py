@@ -475,7 +475,9 @@ def test_mesh_rejects_model_hooks():
         gd=Adam(), theta=jnp.asarray(theta0), dtype=jnp.float64,
         mesh=mesh,
     )
-    with pytest.raises(ValueError, match="single-device"):
+    # quadratic_form on a mesh is now consumed — but ONLY by
+    # step_impl='fused_shard' (r4); any other mesh step still refuses.
+    with pytest.raises(ValueError, match="fused_shard"):
         SVGDSampler(**common, quadratic_form=model.quadratic_form)
     with pytest.raises(ValueError, match="single-device"):
         SVGDSampler(**common, inkernel_model=lambda batch: None)
@@ -746,3 +748,51 @@ def test_fused_shard_checkpoint_roundtrip(tmp_path):
     b.restore(path)
     b.run(batch, 2)
     np.testing.assert_allclose(b.samples, a.samples, rtol=1e-6, atol=1e-9)
+
+
+@requires_8_devices
+def test_fused_shard_glm_matches_autodiff_grads():
+    """fused_shard + quadratic_form (the GLM mesh path): gathers theta
+    ONLY (half the collective bytes) and derives gradients from the
+    gathered block with one MXU dot — the trajectory must match the
+    same fused_shard step with vmap-autodiff gradients (exact algebra;
+    fp-order differences only), and log_p aux must agree. Guard: the
+    hook is refused off fused_shard on a mesh."""
+    theta0, model, _ = _linreg_f32()
+    from stein_tpu.models import LinearRegressionModel
+    import jax.numpy as jnp_
+    rng = np.random.default_rng(2)
+    p = theta0.shape[1]
+    lrmodel = LinearRegressionModel(p)
+    X = rng.normal(size=(40, p)).astype(np.float32)
+    y = (X @ (rng.normal(size=(p, 1)) * 2.0)).astype(np.float32)
+    batch = lrmodel.sufficient_batch(
+        {"X": jnp_.asarray(X), "y": jnp_.asarray(y)}
+    )
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=lrmodel.log_p,
+        param_template=lrmodel.template(jnp.float32), theta=theta0,
+        dtype=jnp.float32, median="bisect", warm_median=True,
+        warm_passes=8, mesh=mesh, step_impl="fused_shard",
+        pallas_interpret=True,
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    aux_a = a.run(batch, 5)
+    b = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    quadratic_form=lrmodel.quadratic_form, **common)
+    aux_b = b.run(batch, 5)
+    np.testing.assert_allclose(b.samples, a.samples, rtol=1e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(aux_b["log_p_mean"]), np.asarray(aux_a["log_p_mean"]),
+        rtol=1e-4,
+    )
+    with pytest.raises(ValueError, match="fused_shard"):
+        SVGDSampler(
+            gd=Adam(learning_rate=1e-1),
+            n_particles=theta0.shape[0], log_p=lrmodel.log_p,
+            param_template=lrmodel.template(jnp.float32), theta=theta0,
+            dtype=jnp.float32, mesh=mesh,
+            quadratic_form=lrmodel.quadratic_form,
+        )
