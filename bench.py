@@ -445,6 +445,29 @@ def main():
         extra["nn_updates_per_s"] = round(nn[0] / nn[1], 1)
         extra["nn_step_us"] = round(nn[1] * 1e6, 2)
 
+    # Extra: BASELINE config #5's per-shard program on a 1-DEVICE mesh
+    # (degenerate collectives — the same compiled structure as a pod
+    # shard, minus ICI latency): step_impl='fused_shard' with the GLM
+    # theta-only-gather path, as throughput_config(mesh=, model=)
+    # selects. Real multi-chip scaling is projected by
+    # benchmarks/scaling_model.py (one chip here).
+    def bench_mesh1():
+        from jax.sharding import Mesh
+        import jax as _jax
+        mesh = Mesh(np.asarray(_jax.devices()[:1]), ("particles",))
+        from stein_tpu.models import LinearRegressionModel
+        model = LinearRegressionModel(N_PARAMS)
+        return bench_jax(
+            X, y, theta0, K=2000, R=8, reps=3, suff_stats=True,
+            mesh=mesh, step_impl="fused_shard", pallas_block=256,
+            median="bisect", median_passes=16, warm_median=True,
+            warm_passes=6, quadratic_form=model.quadratic_form,
+        )
+    t_mesh = try_config("mesh1_fused_shard", bench_mesh1)
+    if t_mesh:
+        extra["mesh1_fused_shard_updates_per_s"] = round(n1 / t_mesh, 1)
+        extra["mesh1_fused_shard_step_us"] = round(t_mesh * 1e6, 2)
+
     # Config 2: n=10240, Pallas streaming kernel + bisect median
     # (BASELINE.json config #4 — "blocked kernel-matrix tiles, on-device
     # median heuristic").

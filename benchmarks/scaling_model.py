@@ -62,8 +62,13 @@ N_COLL_COLD = 11        # 1 + ceil(16/2) + clip + gather
 
 def step_time(n, p, hosts, layout="all_gather", warm=True,
               tflops=MEASURED_TFLOPS, ici=ICI_BYTES_PER_S,
-              hop_lat=HOP_LAT_S, t_other=T_OTHER_S):
+              hop_lat=HOP_LAT_S, t_other=T_OTHER_S, glm=False):
     """Projected per-step wall time (seconds) for one host.
+
+    ``glm=True`` models the r4 fused_shard GLM path
+    (parallel/sharded_fused.py): the step gathers THETA ONLY and
+    derives the gradients from the gathered block, halving the
+    all-gather volume — the layout's dominant ICI traffic.
 
     Returns (t_total, parts dict)."""
     flops = 6.0 * (n / hosts) * n * p
@@ -71,14 +76,15 @@ def step_time(n, p, hosts, layout="all_gather", warm=True,
     n_coll = N_COLL_WARM if warm else N_COLL_COLD
     t_lat = n_coll * (hosts - 1) * hop_lat
     t_other = t_other / hosts + T_FIXED_S
+    gathered = 4.0 if glm else 8.0   # bytes/particle/param: theta / theta+G
     if layout == "ring":
         # Per hop: the next [n/H, 2p] block rides ICI while the current
         # [n/H, n/H] tile computes; H hops.
         t_hop_tile = t_tile / hosts
-        t_block = 8.0 * (n / hosts) * p / ici if hosts > 1 else 0.0
+        t_block = gathered * (n / hosts) * p / ici if hosts > 1 else 0.0
         t_kernel = hosts * max(t_hop_tile, t_block)
     elif layout == "all_gather":
-        t_comm = 8.0 * n * p * (1.0 - 1.0 / hosts) / ici
+        t_comm = gathered * n * p * (1.0 - 1.0 / hosts) / ici
         t_kernel = t_tile + t_comm          # no overlap: pessimistic
     else:
         raise ValueError(layout)
@@ -105,7 +111,7 @@ def main():
           f"hop {HOP_LAT_S*1e6:.0f} us, p={p})")
     hosts_list = [1, 2, 4, 8, 16, 32]
     header = f"{'n':>7} | " + " | ".join(
-        f"H={h:<2} ag/ring" for h in hosts_list[1:]
+        f"H={h:<2} ag/ring/glm" for h in hosts_list[1:]
     )
     print(header)
     for n in (args.n, 4 * args.n, 16 * args.n):
@@ -113,7 +119,8 @@ def main():
         for h in hosts_list[1:]:
             ag = efficiency(n, p, h, "all_gather")
             ri = efficiency(n, p, h, "ring")
-            row.append(f"{ag*100:4.0f}%/{ri*100:4.0f}%")
+            gl = efficiency(n, p, h, "all_gather", glm=True)
+            row.append(f"{ag*100:3.0f}/{ri*100:3.0f}/{gl*100:3.0f}%")
         print(" | ".join(row))
     t1, parts = step_time(args.n, p, 1)
     print(f"1-host anchor at n={args.n}: {t1*1e3:.3f} ms projected "

@@ -96,8 +96,15 @@ def main():
         if jax.default_backend() != "tpu":
             # The tuned configs select Pallas kernels, which off-TPU
             # only run in interpret mode (slow but correct) — keeps
-            # --tuned demonstrable on CPU.
+            # --tuned demonstrable on CPU. The model's gradient kernel
+            # bakes its own interpret flag (the sampler's
+            # pallas_interpret cannot reach inside the callable), so
+            # rebuild it too.
             tuned_kw["pallas_interpret"] = True
+            if "custom_grads" in tuned_kw:
+                tuned_kw["custom_grads"] = model.pallas_grads(
+                    interpret=True
+                )
     sampler = SVGDSampler(
         n_particles=args.n_particles,
         log_p=model.log_p,
