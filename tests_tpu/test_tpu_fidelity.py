@@ -738,3 +738,82 @@ def test_bfloat16_end_to_end_posterior_on_chip():
     est = np.cov(s.T)
     np.testing.assert_allclose(est, cov, atol=0.55)
     assert np.all(np.diag(est) > 0.3)
+
+
+def test_fused_shard_one_device_mesh_on_chip():
+    """step_impl='fused_shard' COMPILED on the real chip (1-device mesh,
+    degenerate collectives — the same kernels a pod shard runs): must
+    track the single-device fused_gram step (the same numerics class:
+    in-kernel centered Gram for median counts and tiles) over a scan,
+    and the GLM theta-only-gather variant must track the autodiff-grads
+    variant."""
+    from jax.sharding import Mesh
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(31)
+    n, p = 512, 32
+    X = rng.normal(size=(128, p))
+    y = X @ rng.normal(size=(p, 1))
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("particles",))
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(), theta=theta0,
+        median="bisect", warm_median=True, warm_passes=8,
+        gd=Adam(learning_rate=1e-1),
+    )
+    fs = SVGDSampler(mesh=mesh, step_impl="fused_shard", **common)
+    fs.run(batch, 10)
+    sg = SVGDSampler(step_impl="fused_gram", median_impl="fused",
+                     **common)
+    sg.run(batch, 10)
+    a, b = np.asarray(fs.samples), np.asarray(sg.samples)
+    assert np.isfinite(a).all()
+    # Same class, different tile/center fp order: close, not bitwise.
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-4)
+
+    suff = model.sufficient_batch(batch)
+    glm = SVGDSampler(mesh=mesh, step_impl="fused_shard",
+                      quadratic_form=model.quadratic_form, **common)
+    glm.run(suff, 10)
+    auto = SVGDSampler(mesh=mesh, step_impl="fused_shard", **common)
+    auto.run(suff, 10)
+    np.testing.assert_allclose(
+        np.asarray(glm.samples), np.asarray(auto.samples),
+        rtol=2e-2, atol=1e-4,
+    )
+
+
+def test_pallas_grads_match_autodiff_on_chip():
+    """The hand-derived NN gradient kernel COMPILED on the real chip
+    (custom_grads hook): pure VPU elementwise math, so it matches
+    vmap-autodiff to f32 reassociation — no bf16-class dot anywhere in
+    it (measured 4.3e-6 rel at the bench shape)."""
+    from stein_tpu.models import BayesianNNModel
+    from stein_tpu.utils.ravel import template_unraveler
+
+    rng = np.random.default_rng(7)
+    n, B, f, H = 1000, 20, 1, 100
+    model = BayesianNNModel(f, H, n_train=B, n_batch=B, prior_beta=10.0)
+    n_params, unravel = template_unraveler(model.template())
+    theta = jnp.asarray(rng.normal(size=(n, n_params)) * 0.3,
+                        jnp.float32)
+    X = rng.uniform(size=(B, f)).astype(np.float32)
+    y = np.cos(10 * X) * (5 * X) + rng.normal(size=(B, 1)) * 0.1
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y, jnp.float32)}
+    ga = jax.vmap(
+        jax.value_and_grad(lambda row, b: model.log_p(unravel(row), b)),
+        in_axes=(0, None),
+    )
+    lp_ref, g_ref = jax.jit(ga)(theta, batch)
+    lp, g = jax.jit(model.pallas_grads())(theta, batch)
+    g, g_ref = np.asarray(g), np.asarray(g_ref)
+    rel = np.abs(g - g_ref).max() / np.abs(g_ref).max()
+    print(f"[fidelity] pallas_grads on-chip max rel {rel:.3e}")
+    assert rel < 1e-4, rel
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               rtol=1e-4, atol=1e-4)
