@@ -137,6 +137,7 @@ class BayesianNNModel:
             # enough to CRASH the Mosaic compiler above n~512 rows
             # (measured: 512 compiles, 768+ kills tpu_compile_helper).
             bn = min(block_rows, max(8, n))
+            bn = max(8, bn - bn % 8)   # Mosaic: sublane dim % 8 == 0
             n_pad = -(-n // bn) * bn
             if n_pad != n:
                 pad = ((0, n_pad - n), (0, 0))
