@@ -216,3 +216,40 @@ ref2d_warm.run(ref_batch8, 4)
 np.testing.assert_allclose(
     s2d_warm.samples, ref2d_warm.samples, rtol=1e-6, atol=1e-9
 )
+
+# step_impl='fused_shard' (r4) across the process boundary: the fused
+# tail split at its collectives — the bracket-pass kernel's counts psum
+# over gRPC, the quad-ary rounds psum per round, the streaming tile
+# consumes the cross-process gathered block, the clip norm psums
+# (interpret-mode kernels on these fake CPU devices). Verified against
+# the single-device fused_gram step — the SAME numerics class (in-kernel
+# centered Gram feeding median counts and tiles), computed locally in
+# this process.
+theta0_f = jnp.asarray(theta0, jnp.float32)
+batch_f = replicate_batch(
+    {"X": jnp.asarray(X, jnp.float32), "y": jnp.asarray(y, jnp.float32)},
+    mesh,
+)
+fs = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float32),
+    gd=Adam(learning_rate=1e-1), theta=theta0_f, dtype=jnp.float32,
+    mesh=mesh, median="bisect", warm_median=True, warm_passes=8,
+    step_impl="fused_shard", pallas_interpret=True,
+)
+fs.run(batch_f, 4)
+fs_ref = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float32),
+    gd=Adam(learning_rate=1e-1), theta=theta0_f, dtype=jnp.float32,
+    median="bisect", warm_median=True, warm_passes=8,
+    step_impl="fused_gram", median_impl="fused", pallas_interpret=True,
+)
+fs_ref.run(
+    {"X": jnp.asarray(X, jnp.float32), "y": jnp.asarray(y, jnp.float32)},
+    4,
+)
+np.testing.assert_allclose(
+    fs.samples, fs_ref.samples, rtol=1e-4, atol=1e-7
+)
+print(f"MULTIHOST-FUSED-SHARD-OK-{pid}", flush=True)
