@@ -614,3 +614,269 @@ def fused_warm_step_tail(theta, grads, D, D_sub, med_prev, opt_state, gd,
         return new_theta, new_opt, (stats[0], stats[1], stats[2],
                                     stats[3])
     return new_theta, new_opt, (stats[0], stats[1], stats[2])
+
+
+def _pblock_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
+                   n_particles, g_p):
+    """One grid step of the p-BLOCKED fused tail (fused_warm_step_pblock).
+    The 1-D grid runs three sequential phases of g_p steps each, tile
+    index j = g % g_p:
+
+      phase A (g in [0, g_p)):        D scratch += centered Gram p-tile
+      phase C (g in [g_p, 2 g_p)):    at the first C step, finish D ->
+                                      warm median -> K (overwriting the
+                                      D scratch) -> row sums; then per
+                                      tile ku_j = K @ u_j, phi_j into
+                                      the phi scratch, norm^2 partial
+      phase D (g in [2 g_p, 3 g_p)):  clip scale (norm now complete) +
+                                      the optimizer's own update rule
+                                      per tile; writes the outputs
+
+    Mosaic TPU grids are sequential on a core, which is what makes the
+    cross-phase scalar carries (median, h2, norm) sound; non-final
+    output-buffer write-backs are garbage but every output's FINAL
+    visit (phase D) writes the real values."""
+    (n_scalar_in, n_array_in, treedef, scalar_pos) = meta
+    idx = 0
+    med_ref = refs[idx]; idx += 1
+    scalar_in = refs[idx:idx + n_scalar_in]; idx += n_scalar_in
+    theta_ref = refs[idx]; idx += 1          # [n, pt] tile
+    grads_ref = refs[idx]; idx += 1          # [n, pt] tile
+    center_ref = refs[idx]; idx += 1         # [1, pt] tile
+    array_in = refs[idx:idx + n_array_in]; idx += n_array_in
+    out_theta = refs[idx]; idx += 1
+    out_arrays = refs[idx:idx + n_array_in]; idx += n_array_in
+    out_scalars = refs[idx:idx + n_scalar_in]; idx += n_scalar_in
+    stats_ref = refs[idx]; idx += 1
+    d_scr = refs[idx]; idx += 1              # [n, n] VMEM scratch (D -> K)
+    ksum_scr = refs[idx]; idx += 1           # [n, 1] VMEM scratch
+    smem_scr = refs[idx]                     # [4] SMEM: med, h2, norm2, -
+
+    g = pl.program_id(0)
+    f32 = jnp.float32
+    n = theta_ref.shape[0]
+    pt = theta_ref.shape[1]
+    j = g % g_p
+    # Whole-[n, n] phases run in ROW CHUNKS: a single d_scr[:]-sized
+    # expression materialises a second [n, n] temporary next to the
+    # scratch, which measured a 17.3 MiB VMEM stack (1.3 over the
+    # 16 MiB core) at n=1000 — chunking keeps temporaries to
+    # [chunk, n].
+    chunk = max(8, min(n, (2 ** 19) // max(n, 1) // 4 * 8))
+    n_chunks = -(-n // chunk)
+
+    tc = theta_ref[:] - center_ref[:]
+
+    @pl.when(g < g_p)
+    def _phase_a():
+        rsq = jnp.sum(tc * tc, axis=1, keepdims=True)
+        for c0 in range(0, n, chunk):
+            w = min(chunk, n - c0)
+            rows = pl.ds(c0, w)
+            d_tile = (rsq[c0:c0 + w] + rsq.reshape(1, n)
+                      - 2.0 * jnp.dot(tc[c0:c0 + w], tc.T,
+                                      preferred_element_type=f32))
+            @pl.when(j == 0)
+            def _(d_tile=d_tile, rows=rows):
+                d_scr[rows, :] = d_tile
+
+            @pl.when(j > 0)
+            def _(d_tile=d_tile, rows=rows):
+                d_scr[rows, :] += d_tile
+
+    @pl.when(g == g_p)
+    def _phase_b():
+        med = warm_search_on_value(
+            d_scr[:], med_ref[0], k=k, rounds=rounds, brackets=brackets,
+        )
+        h2 = med / jnp.log(jnp.asarray(n_particles, f32))
+        for c0 in range(0, n, chunk):
+            w = min(chunk, n - c0)
+            rows = pl.ds(c0, w)
+            Kc = jnp.exp2(d_scr[rows, :] * (_LOG2E_HALF / h2))
+            d_scr[rows, :] = Kc
+            ksum_scr[rows, :] = jnp.sum(Kc, axis=1, keepdims=True)
+        smem_scr[0] = med
+        smem_scr[1] = h2
+        smem_scr[2] = 0.0
+
+    def _phi_tile(h2):
+        """This tile's phi, chunked over rows (K@u recomputed in phase D
+        rather than stored: a [n, p_pad] phi scratch pushed the kernel's
+        VMEM footprint 1.3 MiB past the 16 MiB core; the recompute is
+        ~4 us of MXU work at the NN shape)."""
+        u = grads_ref[:] - tc / h2
+        parts = []
+        for c0 in range(0, n, chunk):
+            w = min(chunk, n - c0)
+            rows = pl.ds(c0, w)
+            ku = jnp.dot(d_scr[rows, :], u,
+                         preferred_element_type=f32)
+            parts.append(
+                (ku + ksum_scr[rows, :] * tc[c0:c0 + w] / h2)
+                / n_particles
+            )
+        return parts
+
+    @pl.when((g >= g_p) & (g < 2 * g_p))
+    def _phase_c():
+        norm_part = jnp.float32(0.0)
+        for phi in _phi_tile(smem_scr[1]):
+            norm_part += jnp.sum(phi * phi)
+        smem_scr[2] += norm_part
+
+    @pl.when(g >= 2 * g_p)
+    def _phase_d():
+        norm = jnp.sqrt(smem_scr[2])
+        c = jnp.asarray(max_phi_norm, f32)
+        scale = c / jnp.maximum(c, norm)
+        parts = _phi_tile(smem_scr[1])
+        phi = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=0
+        )
+        phi = phi * scale
+        leaves = []
+        si = iter(scalar_in)
+        ai = iter(array_in)
+        for is_scalar in scalar_pos:
+            leaves.append(next(si)[0] if is_scalar else next(ai)[:])
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        update = getattr(gd, "update_kernel", gd.update)
+        delta, new_state = update(opt_state, phi)
+        new_treedef = jax.tree_util.tree_structure(new_state)
+        if new_treedef != treedef:
+            raise ValueError(
+                "fused pblock step: gd.update returned an optimizer "
+                f"state with a different pytree structure ({new_treedef} "
+                f"vs {treedef})"
+            )
+        out_theta[:] = theta_ref[:] + delta
+        so = iter(out_scalars)
+        ao = iter(out_arrays)
+        for is_scalar, leaf in zip(scalar_pos,
+                                   jax.tree_util.tree_leaves(new_state)):
+            if is_scalar:
+                next(so)[0] = leaf
+            else:
+                next(ao)[:] = leaf
+        stats_ref[0] = smem_scr[0]
+        stats_ref[1] = norm
+        stats_ref[2] = smem_scr[1]
+
+
+def pblock_step_fits(n, p, p_tile=128):
+    """VMEM gate for the p-blocked fused tail: the [n, n] D/K scratch,
+    the [n, p] phi scratch, and ~6 [n, p_tile] tile buffers within
+    ~12 MiB."""
+    return 4 * (n * n + n * p + 6 * n * p_tile) <= 12 * 2 ** 20
+
+
+def fused_warm_step_pblock(theta, grads, med_prev, opt_state, gd,
+                           max_phi_norm=10.0, warm_passes=8,
+                           brackets=DEFAULT_BRACKETS, p_tile=128,
+                           interpret=False):
+    """The ENTIRE post-gradient SVGD step as ONE Pallas kernel for
+    shapes whose [n, p] operands exceed the all-at-once tail's VMEM
+    budget (fused_step_vmem_bytes counts ~11 n*p terms; the Bayesian-NN
+    shape n=1000/p=303 was locked out): D and K stay VMEM-resident
+    [n, n] scratches while theta/grads/optimizer-moment tiles STREAM
+    through a sequential 3-phase grid (Gram accumulation over p-tiles ->
+    median + K + per-tile contraction/phi/norm -> clip + in-kernel
+    optimizer). Same numerics class as step_impl='fused_gram' (in-kernel
+    centered Gram); the median counts run over ALL n^2 entries (the
+    reference's exact semantics — no row subsample).
+
+    Returns (new_theta, new_opt_state, (med, phi_norm, h2)). f32-only;
+    requires a coordinatewise step rule (Adam/Adagrad are); gate shapes
+    with ``pblock_step_fits``."""
+    n, p = theta.shape
+    f32 = jnp.float32
+    for name, arr in (("theta", theta), ("grads", grads)):
+        if arr.dtype != f32:
+            raise TypeError(
+                f"fused pblock step is f32-only (got {name}={arr.dtype})"
+            )
+    if n * n >= 2 ** 31:
+        raise ValueError("fused pblock step: n^2 exceeds int32 counts")
+
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    scalar_pos = tuple(jnp.ndim(leaf) == 0 for leaf in leaves)
+    scalar_leaves = [l for l, s in zip(leaves, scalar_pos) if s]
+    array_leaves = [l for l, s in zip(leaves, scalar_pos) if not s]
+    for leaf in array_leaves:
+        if leaf.shape != (n, p):
+            raise ValueError(
+                "fused pblock step supports optimizer states whose "
+                f"array leaves are [n, p]; got {leaf.shape}"
+            )
+
+    pt = min(p_tile, p)
+    p_pad = -(-p // pt) * pt
+    pad = ((0, 0), (0, p_pad - p))
+
+    def _pad(x):
+        return jnp.pad(x, pad) if p_pad != p else x
+
+    center = jnp.mean(theta, axis=0, keepdims=True)
+    theta_p = _pad(theta)
+    grads_p = _pad(grads)
+    # Padded center columns are 0 and padded theta columns are 0, so
+    # tc's padded columns vanish: they contribute nothing to D, phi,
+    # or the norm.
+    center_p = _pad(center)
+    arrays_p = [_pad(l) for l in array_leaves]
+
+    g_p = p_pad // pt
+    grid = (3 * g_p,)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile = lambda w: pl.BlockSpec((n, w), lambda g: (0, g % g_p))  # noqa: E731
+    ctile = pl.BlockSpec((1, pt), lambda g: (0, g % g_p))
+    in_specs = (
+        [smem] * (1 + len(scalar_leaves))
+        + [tile(pt), tile(pt), ctile]
+        + [tile(pt)] * len(array_leaves)
+    )
+    out_specs = (
+        [tile(pt)] * (1 + len(array_leaves))
+        + [smem] * (len(scalar_leaves) + 1)
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((n, p_pad), f32)]
+        + [jax.ShapeDtypeStruct((n, p_pad), l.dtype)
+           for l in array_leaves]
+        + [jax.ShapeDtypeStruct((1,), l.dtype) for l in scalar_leaves]
+        + [jax.ShapeDtypeStruct((3,), f32)]
+    )
+    meta = (len(scalar_leaves), len(array_leaves), treedef, scalar_pos)
+    kernel = functools.partial(
+        _pblock_kernel, meta=meta, gd=gd, max_phi_norm=max_phi_norm,
+        k=(n * n + 1) // 2, rounds=(warm_passes + 1) // 2,
+        brackets=brackets, n_particles=n, g_p=g_p,
+    )
+    outs = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, n), f32),
+            pltpu.VMEM((n, 1), f32),
+            pltpu.SMEM((4,), f32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(med_prev).astype(f32).reshape(1),
+      *[l.reshape(1) for l in scalar_leaves],
+      theta_p, grads_p, center_p, *arrays_p)
+
+    new_theta = outs[0][:, :p]
+    new_arrays = [o[:, :p] for o in outs[1:1 + len(array_leaves)]]
+    new_scalars = [
+        o.reshape(()) for o in
+        outs[1 + len(array_leaves):1 + len(array_leaves)
+             + len(scalar_leaves)]
+    ]
+    stats = outs[-1]
+    new_leaves = []
+    si, ai = iter(new_scalars), iter(new_arrays)
+    for is_scalar in scalar_pos:
+        new_leaves.append(next(si) if is_scalar else next(ai))
+    new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return new_theta, new_opt, (stats[0], stats[1], stats[2])
