@@ -544,3 +544,61 @@ def test_fused_pblock_matches_fused_gram_tail():
                           jax.tree_util.tree_leaves(opt_b)):
             np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                        rtol=1e-3, atol=1e-3)
+
+
+def test_step_impl_cross_parity_random_shapes():
+    """Property sweep: RANDOM (n, p, n_obs) shapes — deliberately odd
+    (non-multiples of 8/128 exercise every padding path) — through all
+    single-device step configurations, asserting the warm scan
+    trajectories agree across implementations: the HIGHEST-D impls
+    (xla, 'fused') to fp order, the in-kernel-D impls ('fused_gram',
+    'fused_glm', pallas tile + fused/fused_gram medians) to their
+    documented class (exact in interpret mode up to centering/tile fp
+    order)."""
+    from stein_tpu import SVGDSampler, Adam
+    from stein_tpu.models import LinearRegressionModel
+    from stein_tpu.ops.pallas_step import fused_step_fits
+
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        n = int(rng.integers(33, 260))
+        p = int(rng.integers(3, 37))
+        n_obs = int(rng.integers(p + 1, 90))
+        X = rng.normal(size=(n_obs, p))
+        y = X @ rng.normal(size=(p, 1))
+        model = LinearRegressionModel(p)
+        raw = {"X": jnp.asarray(X, jnp.float32),
+               "y": jnp.asarray(y, jnp.float32)}
+        suff = model.sufficient_batch(raw)
+        theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+        assert fused_step_fits(n, p)
+
+        def run(batch, **kw):
+            s = SVGDSampler(
+                n_particles=n, log_p=model.log_p,
+                param_template=model.template(),
+                gd=Adam(learning_rate=1e-1), theta=theta0,
+                median="bisect", warm_median=True,
+                pallas_interpret=True, **kw,
+            )
+            s.run(batch, 3)
+            return np.asarray(s.samples)
+
+        base = run(suff)
+        configs = [
+            ("fused", dict(step_impl="fused", median_impl="fused")),
+            ("fused_gram", dict(step_impl="fused_gram",
+                                median_impl="fused")),
+            ("fused_glm", dict(step_impl="fused_glm",
+                               quadratic_form=model.quadratic_form,
+                               median_impl="fused")),
+            ("pallas", dict(kernel_impl="pallas", median_impl="fused")),
+            ("pallas+fg", dict(kernel_impl="pallas",
+                               median_impl="fused_gram")),
+        ]
+        for name, kw in configs:
+            out = run(suff, **kw)
+            np.testing.assert_allclose(
+                out, base, rtol=1e-3, atol=1e-5,
+                err_msg=f"trial {trial} n={n} p={p} impl={name}",
+            )
