@@ -940,6 +940,16 @@ class SVGDSampler:
         generalization of quadratic_form to non-quadratic models, e.g.
         models.LogisticRegressionModel.inkernel_model (the reference's
         Covertype workload as ONE kernel per step).
+    custom_grads : optional callable (theta [n, p], batch) ->
+        (logp_vals [n], grads [n, p]) REPLACING the vmap-autodiff
+        gradient stage — the hook for model-supplied gradient kernels
+        where autodiff emits MXU-starved batched dots, e.g.
+        models.BayesianNNModel.pallas_grads() (the hand-derived
+        elementwise backward: NN step 65.4 -> 53.1 us, RESULTS.md r4).
+        step_impl="xla" / kernel_impl paths only (the fused tails own
+        their gradient stage); single-device; incompatible with remat.
+        throughput_config(model=...) wires it on the large-p branch
+        when the model exposes ``pallas_grads``.
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh
