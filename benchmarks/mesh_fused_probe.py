@@ -28,7 +28,6 @@ from stein_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax                                           # noqa: E402
-import jax.numpy as jnp                              # noqa: E402
 from jax.sharding import Mesh                        # noqa: E402
 
 from bench import make_data, slope_time, make_sampler   # noqa: E402
