@@ -194,6 +194,7 @@ def bench_logreg(K=5000, R=8, reps=3, measures=3):
             median="bisect", median_passes=16, warm_median=True,
             warm_passes=6, step_impl="fused_model",
             inkernel_model=model.inkernel_model,
+            median_max_rows=128,   # r4 sweep: 16.5 -> 12.2 us
         )
         return sampler, batch
 
@@ -373,6 +374,9 @@ def main():
                               # the VMEM-resident block — bitwise the same
                               # medians, 54.0 -> 46.5 us full step
                               # (benchmarks/fused_median_bench.py)
+        median_max_rows=256,  # r4 rows sweep: 24.8 -> 22.7 us (the
+                              # in-kernel count passes shrink; 256x1000
+                              # quantile samples stay sub-1% class)
         step_impl="fused_gram",  # the ENTIRE post-gradient tail
                               # (median -> K -> contraction -> clip ->
                               # Adam) in ONE kernel, WITH D computed by
@@ -406,6 +410,7 @@ def main():
         X, y, theta0, K=3000, R=10, reps=5, glm=True,
         median="bisect", median_passes=16, warm_median=True,
         warm_passes=6, median_impl="fused",
+        median_max_rows=128,   # r4 sweep: 15.0 -> 11.2 us
     ))
     if t_glm:
         extra["n1000_glm_updates_per_s"] = round(n1 / t_glm, 1)
@@ -462,6 +467,7 @@ def main():
             mesh=mesh, step_impl="fused_shard", pallas_block=256,
             median="bisect", median_passes=16, warm_median=True,
             warm_passes=6, quadratic_form=model.quadratic_form,
+            median_max_rows=256,   # r4 sweep: 33.5 -> 30.0 us
         )
     t_mesh = try_config("mesh1_fused_shard", bench_mesh1)
     if t_mesh:

@@ -829,6 +829,12 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             if bracket_pass_fits(m_loc, n_particles, n_params):
                 cfg.update(step_impl="fused_shard",
                            pallas_block=1024 if large else 256)
+                if not large:
+                    # r4 rows sweep on the 1-device mesh: 33.5 -> 28.7
+                    # us at n=1000 with 128 global rows; 256 splits the
+                    # difference while keeping >= 32 rows/shard on an
+                    # 8-way mesh.
+                    cfg["median_max_rows"] = 256
                 if model is not None and hasattr(model,
                                                  "quadratic_form"):
                     # GLM: gather theta ONLY (half the collective
@@ -845,11 +851,18 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     if f32:
         from .ops.pallas_step import fused_step_fits
         if fused_step_fits(n_particles, n_params,
-                           cfg.get("median_max_rows", 512)):
+                           min(cfg.get("median_max_rows", 512), 256)):
             # fused_gram: D computed in-kernel — measured 27.0 vs
             # 35.8 us at n=1000/p=128 (RESULTS.md round 3), same
-            # tolerance class as the large-n streaming tile.
-            cfg.update(step_impl="fused_gram", median_impl="fused")
+            # tolerance class as the large-n streaming tile. The
+            # in-kernel median block shrinks to the measured-best rows
+            # (r4 sweep at n=1000: fused_gram 24.8 -> 22.7 us at 256;
+            # the one-kernel glm/model steps 15.0 -> 11.2 / 16.5 ->
+            # 12.2 us at 128 — quantile error at 128 rows x n cols is
+            # the same sub-1% class validated at n=10240; n <= rows
+            # keeps every row, bitwise unchanged).
+            cfg.update(step_impl="fused_gram", median_impl="fused",
+                       median_max_rows=256)
             if model is not None and probe_batch is not None and (
                     hasattr(model, "quadratic_form")
                     or hasattr(model, "inkernel_model")):
@@ -857,14 +870,16 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
                                    probe_batch)
             if model is not None and hasattr(model, "quadratic_form"):
                 cfg.update(step_impl="fused_glm",
-                           quadratic_form=model.quadratic_form)
+                           quadratic_form=model.quadratic_form,
+                           median_max_rows=128)
             elif model is not None and hasattr(model, "inkernel_model"):
                 # The model's operand/temporary VMEM cost depends on
                 # the batch shape, unknown here — the sampler's gate
                 # (ops/pallas_step.fused_warm_step_tail) still refuses
                 # oversized batches loudly at trace time.
                 cfg.update(step_impl="fused_model",
-                           inkernel_model=model.inkernel_model)
+                           inkernel_model=model.inkernel_model,
+                           median_max_rows=128)
             return cfg
         cfg["median_impl"] = "fused"
         if large:
