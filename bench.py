@@ -15,11 +15,16 @@ reference — on identical work: p=128 Bayesian linear regression).
 ``extra`` carries the remaining measured BASELINE workloads: n=10240
 with the Pallas streaming kernel + bisect median (config #4; the oracle
 is omitted there — one O(n^2 p) host step at n=10240 takes minutes and
-the n=1k ratio already anchors the comparison), the Covertype-shape
-logistic regression through the one-kernel fused_model step (config
-#2), the Bayesian NN regression at n=1000 (config #3), and the n=1k
-fused_glm variant. Config #5 (multi-host) is projected by
-benchmarks/scaling_model.py — one chip here.
+the n=1k ratio already anchors the comparison); config #1 as written
+(50 particles, AdaGrad); the Covertype-shape logistic regression
+through the one-kernel fused_model step (config #2) AND the full
+reference Covertype run end-to-end (6000 iters over the 581k-row-scale
+dataset, on-device minibatch sampling — covertype_e2e_*); the Bayesian
+NN regression at n=1000 through the gradient kernel (config #3); the
+n=1k fused_glm variant; and config #5's per-shard program on a
+1-device mesh (mesh1_fused_shard_*, step_impl='fused_shard' with GLM
+theta-only gather — real multi-host scaling is projected by
+benchmarks/scaling_model.py; one chip here).
 """
 
 import json
