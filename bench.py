@@ -319,8 +319,10 @@ def bench_adagrad50(X, y, K=8000, R=10, reps=3, measures=3):
     own configuration (50 particles, AdaGrad rule,
     examples/linear_regression/main.py + BASELINE.md config list). Tiny
     n, so the step is dispatch-bound: throughput_config picks the
-    one-kernel fused_glm tail (the AdaGrad rule is traced inside the
-    kernel exactly like Adam — ops/optimizers.py update_kernel). K=8000:
+    one-kernel fused_glm tail (the AdaGrad rule's update is already
+    Mosaic-legal — no float pow — so the fused tail traces gd.update
+    directly; only Adam needs the update_kernel twin,
+    ops/optimizers.py). K=8000:
     at a ~10 us step the slope numerator is ~0.7 s."""
     import jax.numpy as jnp
     from stein_tpu import Adagrad, SVGDSampler, throughput_config

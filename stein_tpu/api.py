@@ -696,11 +696,24 @@ def _probe_model_hooks(model, n_particles, n_params, probe_batch):
                 f"raised {type(e).__name__}: {e} — the fused_glm step would "
                 "fail at trace time; fix the hook or drop model="
             ) from e
-        if tuple(A_eff.shape) != (p, p) or int(jnp.size(b_eff)) != p:
+        # jnp.shape/size work on any array-like (lists, scalars, None
+        # raises TypeError below) — a hook returning plain Python values
+        # still gets the readable contract error, not an AttributeError.
+        try:
+            a_shape = tuple(jnp.shape(A_eff))
+            b_size = int(jnp.size(b_eff))
+        except TypeError as e:
+            raise ValueError(
+                "throughput_config probe: quadratic_form must return "
+                f"(A_eff [p, p], b_eff [p], const) array-likes for p={p}; "
+                f"got types ({type(A_eff).__name__}, "
+                f"{type(b_eff).__name__}, {type(const).__name__})"
+            ) from e
+        if a_shape != (p, p) or b_size != p:
             raise ValueError(
                 "throughput_config probe: quadratic_form must return "
                 f"(A_eff [p, p], b_eff [p], const) for p={p}; got "
-                f"A_eff {A_eff.shape}, b_eff {jnp.shape(b_eff)}"
+                f"A_eff {a_shape}, b_eff {jnp.shape(b_eff)}"
             )
         return
     from .ops.pallas_step import InKernelModel
@@ -747,8 +760,38 @@ def _probe_model_hooks(model, n_particles, n_params, probe_batch):
         )
 
 
+def _probe_custom_grads(hook, n_particles, n_params, probe_batch):
+    """Construction-time validation of a custom_grads hook (the model-
+    supplied gradient kernel, e.g. BayesianNNModel.pallas_grads()):
+    shape-trace it once on ``probe_batch`` so a wrong contract fails
+    HERE with a readable error instead of deep in a remote Mosaic trace
+    (jax.eval_shape traces shapes only — no kernel compiles, safe off
+    TPU). Contract: (theta [n, p], batch) -> (logp_vals [n],
+    grads [n, p])."""
+    theta_spec = jax.ShapeDtypeStruct((n_particles, n_params),
+                                      jnp.float32)
+    try:
+        lp_shape, g_shape = jax.eval_shape(hook, theta_spec, probe_batch)
+    except Exception as e:
+        raise ValueError(
+            "throughput_config probe: the model's pallas_grads hook "
+            f"failed shape tracing ({type(e).__name__}: {e}) — the "
+            "custom_grads stage would fail at first trace; fix the hook "
+            "or drop model="
+        ) from e
+    if tuple(g_shape.shape) != (n_particles, n_params) or \
+            tuple(lp_shape.shape) != (n_particles,):
+        raise ValueError(
+            "throughput_config probe: custom_grads must return "
+            f"(logp_vals [{n_particles}], grads "
+            f"[{n_particles}, {n_params}]); got ({lp_shape.shape}, "
+            f"{g_shape.shape})"
+        )
+
+
 def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
-                      dtype=jnp.float32, model=None, probe_batch=None):
+                      dtype=jnp.float32, model=None, probe_batch=None,
+                      pallas_interpret=False):
     """Measured-best sampler options for production throughput — the
     decision tree from benchmarks/RESULTS.md as a kwargs dict to splat
     into SVGDSampler next to the model arguments:
@@ -794,10 +837,21 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     const); inkernel_model's InKernelModel with >=2-D operands and a
     grad_fn that shape-traces to ([n, p], scalar)) — a wrong hook fails
     here with a readable error instead of deep in a remote Mosaic trace.
-    Without it, validation happens at first trace (the sampler's VMEM
-    and shape gates still fail loudly, just later)."""
+    Probing covers EVERY hook-consuming branch: the single-device fused
+    tails, the mesh fused_shard quadratic_form wiring, and the large-p
+    custom_grads kernel (shape-traced with jax.eval_shape — nothing
+    compiles). Without it, validation happens at first trace (the
+    sampler's VMEM and shape gates still fail loudly, just later).
+
+    ``pallas_interpret=`` is forwarded into the config AND into any
+    model hook the config bakes in (custom_grads=model.pallas_grads(
+    interpret=...)), so an off-TPU user splatting the tuned config gets
+    interpret-mode kernels throughout instead of a Mosaic compile
+    failure."""
     f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
     cfg = dict(median="bisect", warm_median=True, dtype=dtype)
+    if pallas_interpret:
+        cfg["pallas_interpret"] = True
     large = n_particles >= 4096
     if large:
         # 128-row median subsample: <1% median error (validated at
@@ -840,6 +894,9 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
                     # GLM: gather theta ONLY (half the collective
                     # bytes) + one-dot gradients from the gathered
                     # block (parallel/sharded_fused.py).
+                    if probe_batch is not None:
+                        _probe_model_hooks(model, n_particles, n_params,
+                                           probe_batch)
                     cfg["quadratic_form"] = model.quadratic_form
             elif large:
                 # Beyond the bracket kernel's VMEM gate: the streaming
@@ -903,7 +960,11 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
                 # Model-supplied gradient kernel (the stage autodiff
                 # makes MXU-starved batched dots of): NN shape 65.4 ->
                 # 53.1 us measured (RESULTS.md r4).
-                cfg["custom_grads"] = model.pallas_grads()
+                hook = model.pallas_grads(interpret=pallas_interpret)
+                if probe_batch is not None:
+                    _probe_custom_grads(hook, n_particles, n_params,
+                                        probe_batch)
+                cfg["custom_grads"] = hook
     return cfg
 
 

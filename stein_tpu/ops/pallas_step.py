@@ -660,9 +660,12 @@ def _pblock_kernel(*refs, meta, gd, max_phi_norm, k, rounds, brackets,
     # Whole-[n, n] phases run in ROW CHUNKS: a single d_scr[:]-sized
     # expression materialises a second [n, n] temporary next to the
     # scratch, which measured a 17.3 MiB VMEM stack (1.3 over the
-    # 16 MiB core) at n=1000 — chunking keeps temporaries to
-    # [chunk, n].
-    chunk = max(8, min(n, (2 ** 19) // max(n, 1) // 4 * 8))
+    # 16 MiB core) at n=1000 — chunking keeps the temporary to
+    # [chunk, n] <= 2^19 B (chunk * n * 4 bytes; the r4 expression
+    # divided the budget by 4*8 instead of multiplying rows by 4 B,
+    # degenerating to chunk == n at exactly n=1000 — the shape the
+    # chunking was built to fix).
+    chunk = max(8, min(n, (2 ** 19) // (4 * max(n, 1)) // 8 * 8))
     n_chunks = -(-n // chunk)
 
     tc = theta_ref[:] - center_ref[:]
