@@ -883,6 +883,17 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             if bracket_pass_fits(m_loc, n_particles, n_params):
                 cfg.update(step_impl="fused_shard",
                            pallas_block=1024 if large else 256)
+                # Warm-median collective structure (r5 measured,
+                # benchmarks/mesh_grid_probe.py): on ONE device the
+                # rounds chain wins (collectives are free; the grid's
+                # extra in-kernel count edges cost ~2.4 us) — on REAL
+                # meshes the grid's 4-vs-8 executed all-reduces win
+                # (each is us-scale ICI/DCN latency; structurally
+                # pinned by test_fused_shard_grid_lowers_to_...).
+                # g1=8 is the measured-best grid split.
+                cfg["median_collectives"] = (
+                    "rounds" if n_dev == 1 else "grid")
+                cfg["median_grid_g1"] = 8
                 if not large:
                     # r4 rows sweep on the 1-device mesh: 33.5 -> 28.7
                     # us at n=1000 with 128 global rows; 256 splits the
@@ -1124,8 +1135,11 @@ class SVGDSampler:
         warm_median=True, kernel_impl="pallas", the default RBF kernel,
         f32, single device; any (n, p). "fused_shard" is the MESH
         counterpart of the fused tails (1-D particle meshes; requires
-        mesh=, warm_median=True, median='bisect', comm='all_gather',
-        the default RBF kernel, kernel_impl="xla", f32): the tail split
+        mesh=, warm_median=True, median='bisect', the default RBF
+        kernel, kernel_impl="xla", f32; comm='all_gather' or — r5 —
+        comm='ring', which circulates [m_loc, p] median-row packets and
+        [n_loc, <=2p] tile blocks with ppermute instead of gathering
+        [n, p], grid median only): the tail split
         at its collectives — a fused bracket-pass kernel (the median
         block's Gram computed in-kernel, fused with the range and
         bracket-endpoint counts), one pmax + one batched psum, psum'd
@@ -1140,6 +1154,22 @@ class SVGDSampler:
         class, pinned statistically; medians match the single-device
         FUSED path bitwise in interpret mode, the XLA mesh search to
         class tolerance).
+    median_collectives : "grid" (default) | "rounds" — collective
+        structure of step_impl='fused_shard''s warm median. 'grid' (r5)
+        fuses the first refinement round into the bracket kernel as
+        per-candidate 17-point grid counts and derives the fallback
+        range from the gathered block: TWO batched psums per median
+        (selection+round-1 ride one collective; one g2-ary round
+        finishes) instead of 'rounds'' pmax + counts psum + one psum
+        per quad-ary round — same width/256 bound at the defaults
+        (ops/median.sharded_warm_from_grid). 'rounds' keeps the r4
+        chain as the documented A/B arm. Ignored by other step_impls.
+    median_grid_g1 : power-of-two edges-per-candidate of the grid
+        search's in-kernel pass (default 16). The g1/g2 split moves
+        count work between the kernel and the one fused XLA g2 pass
+        without changing the two-psum structure or the 2**warm_passes
+        bound (g2 = 2**warm_passes / g1). Ignored unless
+        median_collectives='grid'.
     """
 
     def __init__(self, n_particles, log_p, param_template, gd,
@@ -1152,7 +1182,8 @@ class SVGDSampler:
                  median_passes=30, warm_median=False, warm_passes=8,
                  pallas_precision="f32", median_impl="xla",
                  step_impl="xla", quadratic_form=None,
-                 inkernel_model=None, custom_grads=None):
+                 inkernel_model=None, custom_grads=None,
+                 median_collectives="grid", median_grid_g1=16):
         self.n_particles = int(n_particles)
         if self.n_particles < 2:
             # With one particle the median bandwidth is 0/log(1) = 0/0 — the
@@ -1470,11 +1501,12 @@ class SVGDSampler:
                         "meshes only (the 2-D step tiles the model axis "
                         "with its own psum'd Gram)"
                     )
-                if comm != "all_gather":
+                if comm == "ring" and median_collectives != "grid":
                     raise ValueError(
-                        "step_impl='fused_shard' requires comm="
-                        "'all_gather' (its kernels consume the gathered "
-                        f"column block; got comm={comm!r})"
+                        "comm='ring' + step_impl='fused_shard' supports "
+                        "median_collectives='grid' only (the r5 O(1)-"
+                        "collective search; the rounds chain would "
+                        "re-count the ring D buffer per round)"
                     )
                 if not warm_median or median != "bisect":
                     raise ValueError(
@@ -1564,6 +1596,9 @@ class SVGDSampler:
                             pallas_block=pallas_block,
                             pallas_interpret=pallas_interpret,
                             quadratic_form=quadratic_form,
+                            median_collectives=median_collectives,
+                            median_grid_g1=median_grid_g1,
+                            comm=comm,
                         )
                 elif warm_median:
                     from .parallel.sharded import make_sharded_warm_step

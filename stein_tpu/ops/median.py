@@ -486,6 +486,84 @@ def sharded_warm_from_bracket(D, med_prev, mm, cnts_local, axis_name,
                         axis_name)
 
 
+def sharded_warm_from_grid(D, med_prev, cnts_local, hi_bound, axis_name,
+                           total, warm_passes=8,
+                           brackets=DEFAULT_BRACKETS, g1=16):
+    """Finish the O(1)-collective SHARDED warm search whose pass-1 work —
+    the per-candidate-bracket (g1+1)-point GRID counts — came from
+    ops/pallas_median.fused_bracket_grid_pass. TWO batched psums total
+    (vs pmax + cnts psum + one psum per quad-ary round for
+    sharded_warm_from_bracket):
+
+      psum 1 (``cnts_local``): selects the tightest candidate whose grid
+        endpoints provably straddle the median's rank k (the same
+        verified-bracket semantics as select_bracket, widest-first
+        applies / tightest-last overrides, with the full-range fallback
+        [~0, hi_bound] always valid) AND locates the rank's g1-ary
+        sub-bin within it — the first refinement round rides the
+        selection collective.
+      psum 2: one g2-ary count round over the emitted ``D`` block
+        (g2 - 1 interior thresholds in ONE fused pass) pins the final
+        interval.
+
+    ``g1`` must be a power of two and match the kernel's; g2 is derived
+    so the final width = candidate_width / (g1 * g2) =
+    candidate_width / 2**warm_passes — the identical bound to the
+    quad-round chain it replaces at every g1 (same verified-candidate
+    widths, same per-step re-verification so error never accumulates).
+    The g1/g2 split moves count work between the kernel ((g1+1) edges
+    per candidate) and the XLA pass (g2-1 edges, one fused read of D)
+    WITHOUT changing the collective count — two psums at any split.
+    The only looser case is the rare no-valid-bracket fallback, whose
+    width is the hi_bound range (~4x max centered row-norm^2) instead of
+    the pmax'd true range — a one-step precision class, re-verified next
+    step. ``hi_bound`` must upper-bound every D entry and be computed
+    SHARD-IDENTICALLY (derive it from the all-gathered particles);
+    ``total`` is the global entry count behind rank k.
+
+    Semantics target: stein/utilities/compute_median.py:4-16 via the
+    warm-bracket bound, as everywhere else."""
+    k = (total + 1) // 2
+    cdt = jnp.float32 if total >= 2 ** 31 else jnp.int32
+    k_c = jnp.asarray(k, cdt)
+    cnts_g = jax.lax.psum(cnts_local.astype(cdt), axis_name)
+
+    from .pallas_median import grid_edges
+    edges = grid_edges(med_prev, hi_bound, brackets, g1)
+    have_hint = med_prev > 0
+
+    def cand_bin(ci, gate):
+        """Candidate ci's validity and located g1-ary sub-bin bounds."""
+        base = ci * (g1 + 1)
+        c = cnts_g[base:base + g1 + 1]
+        lo_e = edges[base]
+        w = edges[base + 1] - edges[base]
+        valid = gate & (c[0] < k_c) & (c[g1] >= k_c)
+        b = jnp.sum((c[1:g1] < k_c).astype(lo_e.dtype))
+        lo = lo_e + b * w
+        return valid, lo, lo + w
+
+    # Widest-first chain, tightest-valid wins (select_bracket's order);
+    # the fallback grid (last candidate) is valid by construction.
+    _, lo0, hi0 = cand_bin(len(brackets), jnp.asarray(True))
+    for ci in reversed(range(len(brackets))):
+        valid, lo_c, hi_c = cand_bin(ci, have_hint)
+        lo0 = jnp.where(valid, lo_c, lo0)
+        hi0 = jnp.where(valid, hi_c, hi0)
+
+    lg1 = g1.bit_length() - 1
+    if g1 != 2 ** lg1:
+        raise ValueError(f"grid g1 must be a power of two (got {g1})")
+    g2 = 2 ** max(warm_passes - lg1, 1)
+    w2 = (hi0 - lo0) / g2
+    cnts2 = jnp.stack([
+        jnp.sum(D <= lo0 + t * w2, dtype=cdt) for t in range(1, g2)
+    ])
+    cnts2 = jax.lax.psum(cnts2, axis_name)
+    b2 = jnp.sum((cnts2 < k_c).astype(lo0.dtype))
+    return lo0 + (b2 + 0.5) * w2
+
+
 def _local_row_idx(n_loc, axis_name, max_rows):
     """THE local-row subsample policy shared by every distributed median
     entry point (~max_rows rows used globally, split evenly across the

@@ -173,6 +173,101 @@ def bracket_pass_fits(m, n, p):
     return 4 * (int(m) * n + (m + n) * p) * 5 // 2 <= 12 * 2 ** 20
 
 
+def grid_edges(med_prev, hi_bound, brackets, g1):
+    """Threshold grids for the O(1)-collective warm search: for every
+    candidate bracket (multiples of ``med_prev``) PLUS the always-valid
+    full-range fallback [~0, hi_bound], the g1+1 uniform edge values.
+    Returns a flat list of (n_brackets + 1) * (g1 + 1) scalars, bracket-
+    major, tightest bracket first, fallback last. ONE copy shared by the
+    in-kernel grid pass and the XLA reference (ops/median.py) so the two
+    count bitwise the same thresholds. ``hi_bound`` must upper-bound
+    every D entry (callers derive 4 * max centered row-norm^2 from the
+    gathered particles — exact algebra |a-b|^2 <= 4 max |x|^2 — plus an
+    fp headroom factor); the fallback's lo sits just below zero to admit
+    fp-negative in-kernel distances (cf. binned_median's lo0)."""
+    cands = [(lo * med_prev, hi * med_prev) for lo, hi in brackets]
+    lo_f = jnp.asarray(-1e-6, jnp.float32) * (1.0 + hi_bound)
+    cands.append((lo_f, hi_bound))
+    edges = []
+    for lo, hi in cands:
+        w = (hi - lo) / g1
+        edges.extend(lo + t * w for t in range(g1 + 1))
+    return edges
+
+
+def _bracket_grid_kernel(med_ref, hib_ref, center_ref, rows_ref, cols_ref,
+                         d_ref, cnt_ref, *, brackets, g1):
+    """fused_bracket_pass with the first refinement ROUND fused in: the
+    centered in-kernel D block plus counts at a (g1+1)-point uniform grid
+    over EVERY candidate bracket and the full-range fallback — so ONE
+    psum of the emitted counts both selects the tightest verified bracket
+    AND locates the median's g1-ary sub-bin (ops/median.
+    sharded_warm_from_grid), replacing the bracket psum + pmax + one
+    quad-ary round chain. No min/max emission: the fallback range comes
+    from the caller's hi_bound (derivable shard-identically from the
+    gathered particles), which removes the pmax collective entirely."""
+    c = center_ref[:]
+    rows = rows_ref[:] - c
+    cols = cols_ref[:] - c
+    rsq_r = jnp.sum(rows * rows, axis=1, keepdims=True)
+    rsq_c = jnp.sum(cols * cols, axis=1, keepdims=True)
+    D = (rsq_r + rsq_c.reshape(1, cols.shape[0])
+         - 2.0 * jnp.dot(rows, cols.T,
+                         preferred_element_type=jnp.float32))
+    d_ref[:] = D
+    edges = grid_edges(med_ref[0], hib_ref[0], brackets, g1)
+    for i, t in enumerate(edges):
+        cnt_ref[i] = jnp.sum((D <= t).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("brackets", "g1", "interpret"),
+)
+def fused_bracket_grid_pass(rows, cols, med_prev, center, hi_bound,
+                            brackets=DEFAULT_BRACKETS, g1=16,
+                            interpret=False):
+    """One-kernel GRID bracket pass for the O(1)-collective sharded warm
+    median: the shard's [m, n] centered distance block IN-KERNEL plus
+    counts at every candidate bracket's (g1+1)-point grid and the
+    full-range fallback grid. Returns
+
+      (D_sub [m, n] f32, cnts [(n_brackets + 1) * (g1 + 1)] int32)
+
+    for the caller to psum ONCE before ops/median.sharded_warm_from_grid
+    finishes the search (one more batched count psum). Same VMEM gate
+    (``bracket_pass_fits``) and f32-only contract as fused_bracket_pass;
+    same numerics class (the in-kernel centered Gram feeds the counts)."""
+    m, p = rows.shape
+    n = cols.shape[0]
+    if rows.dtype != jnp.float32 or cols.dtype != jnp.float32:
+        raise TypeError(
+            f"fused grid bracket pass is f32-only (got rows={rows.dtype}, "
+            f"cols={cols.dtype})"
+        )
+    if m * n >= 2 ** 31:
+        raise ValueError(
+            f"fused grid bracket pass: {m}x{n} block exceeds int32 counts"
+        )
+    f32 = jnp.float32
+    med = jnp.asarray(med_prev).astype(f32).reshape(1)
+    hib = jnp.asarray(hi_bound).astype(f32).reshape(1)
+    c = jnp.asarray(center, f32).reshape(1, p)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_cnt = (len(brackets) + 1) * (g1 + 1)
+    D, cnts = pl.pallas_call(
+        functools.partial(_bracket_grid_kernel, brackets=brackets, g1=g1),
+        in_specs=[smem, smem, vmem, vmem, vmem],
+        out_specs=[vmem, smem],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), f32),
+            jax.ShapeDtypeStruct((n_cnt,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(med, hib, c, rows, cols)
+    return D, cnts
+
+
 def _dist_block_kernel(center_ref, rows_ref, cols_ref, out_ref):
     c = center_ref[:]
     rows = rows_ref[:] - c

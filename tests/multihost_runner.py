@@ -236,8 +236,23 @@ fs = SVGDSampler(
     gd=Adam(learning_rate=1e-1), theta=theta0_f, dtype=jnp.float32,
     mesh=mesh, median="bisect", warm_median=True, warm_passes=8,
     step_impl="fused_shard", pallas_interpret=True,
+    median_collectives="rounds",
 )
 fs.run(batch_f, 4)
+# The r5 GRID median (the fused_shard default): its two batched psums
+# cross the same real process boundary; grid-vs-rounds is the
+# width/256-bound class, not bitwise (tests/test_sharded.py pins the
+# single-process A/B tightly), so only the trajectory class is
+# asserted here.
+fs_grid = SVGDSampler(
+    n_particles=16, log_p=model.log_p,
+    param_template=model.template(jnp.float32),
+    gd=Adam(learning_rate=1e-1), theta=theta0_f, dtype=jnp.float32,
+    mesh=mesh, median="bisect", warm_median=True, warm_passes=8,
+    step_impl="fused_shard", pallas_interpret=True,
+    median_collectives="grid",
+)
+fs_grid.run(batch_f, 4)
 fs_ref = SVGDSampler(
     n_particles=16, log_p=model.log_p,
     param_template=model.template(jnp.float32),
@@ -251,5 +266,8 @@ fs_ref.run(
 )
 np.testing.assert_allclose(
     fs.samples, fs_ref.samples, rtol=1e-4, atol=1e-7
+)
+np.testing.assert_allclose(
+    fs_grid.samples, fs.samples, rtol=2e-2, atol=2e-4
 )
 print(f"MULTIHOST-FUSED-SHARD-OK-{pid}", flush=True)

@@ -383,3 +383,67 @@ def test_fused_gram_large_block_path():
     b.run(batch, 3)
     np.testing.assert_allclose(b.samples, a.samples, rtol=1e-4,
                                atol=1e-7)
+
+
+def test_fused_bracket_grid_pass_matches_xla_counts():
+    """The r5 GRID bracket kernel (the O(1)-collective mesh median's
+    pass 1): its in-kernel centered D block must equal the XLA centered
+    distance block bitwise-in-interpret, and its per-edge counts must
+    equal XLA counting at the SAME grid_edges thresholds — the contract
+    ops/median.sharded_warm_from_grid relies on to finish the search
+    with two psums."""
+    from stein_tpu.ops.median import DEFAULT_BRACKETS
+    from stein_tpu.ops.pallas_median import (
+        fused_bracket_grid_pass,
+        grid_edges,
+    )
+
+    rng = np.random.default_rng(7)
+    theta = rng.normal(size=(96, 16)).astype(np.float32) + 3.0
+    rows = jnp.asarray(theta[:32])
+    cols = jnp.asarray(theta)
+    center = jnp.mean(cols, axis=0, keepdims=True)
+    rsq = jnp.sum((cols - center) ** 2, axis=1)
+    hi_bound = 4.0 * jnp.max(rsq) * 1.0001 + 1e-30
+
+    rc = rows - center
+    cc = cols - center
+    D_want = (
+        jnp.sum(rc * rc, axis=1, keepdims=True)
+        + jnp.sum(cc * cc, axis=1)[None, :]
+        - 2.0 * rc @ cc.T
+    )
+    med_prev = jnp.float32(float(jnp.median(D_want)))
+
+    for hint in (med_prev, jnp.float32(0.0), 10.0 * med_prev):
+        D, cnts = fused_bracket_grid_pass(
+            rows, cols, hint, center, hi_bound, interpret=True,
+        )
+        # D vs the XLA comparator: same f32 math, different dot
+        # association -> tight allclose, not bitwise.
+        np.testing.assert_allclose(
+            np.asarray(D), np.asarray(D_want), rtol=1e-5, atol=1e-4,
+        )
+        # Counts vs the kernel's OWN block at the shared grid_edges:
+        # BITWISE (this is the contract sharded_warm_from_grid needs —
+        # psum'd counts consistent with the emitted D).
+        edges = grid_edges(hint, hi_bound, DEFAULT_BRACKETS, 16)
+        want = np.asarray(
+            [int(jnp.sum(D <= t)) for t in edges], np.int32
+        )
+        np.testing.assert_array_equal(np.asarray(cnts), want)
+    # The fallback grid's last edge must bound every entry (the
+    # "always valid" contract).
+    assert float(hi_bound) >= float(jnp.max(D_want))
+
+
+def test_fused_bracket_grid_pass_guards():
+    """f32-only and int32-count guards fail loudly (same contract as
+    fused_bracket_pass)."""
+    from stein_tpu.ops.pallas_median import fused_bracket_grid_pass
+
+    r64 = jnp.zeros((4, 8), jnp.float64)
+    c32 = jnp.zeros((4, 8), jnp.float32)
+    with pytest.raises(TypeError, match="f32-only"):
+        fused_bracket_grid_pass(r64, c32, 1.0, jnp.zeros((1, 8)), 1.0,
+                                interpret=True)

@@ -599,7 +599,12 @@ def test_fused_shard_matches_single_device():
       tight tolerance, medians near-bitwise (the interpret-mode dots are
       exact f32; only the XLA-vs-in-kernel center/tile accumulation
       order differs);
-    - the all-XLA f32 warm mesh-free step — class tolerance."""
+    - the all-XLA f32 warm mesh-free step — class tolerance.
+
+    median_collectives='rounds' here: the single-device fused median IS
+    the quad-rounds structure, so that arm is the bitwise comparator;
+    the r5 'grid' default is pinned against this arm by
+    test_fused_shard_grid_matches_rounds."""
     theta0, model, batch = _linreg_f32()
     mesh = particle_mesh(jax.devices()[:8])
     common = dict(
@@ -610,7 +615,7 @@ def test_fused_shard_matches_single_device():
     )
     fs = SVGDSampler(gd=Adam(learning_rate=1e-1), mesh=mesh,
                      step_impl="fused_shard", pallas_interpret=True,
-                     **common)
+                     median_collectives="rounds", **common)
     aux_f = fs.run(batch, 5)
     sg = SVGDSampler(gd=Adam(learning_rate=1e-1), step_impl="fused_gram",
                      median_impl="fused", pallas_interpret=True, **common)
@@ -630,7 +635,7 @@ def test_fused_shard_matches_single_device():
     # Adagrad through the fused epilogue's in-kernel update rule too.
     fa = SVGDSampler(gd=Adagrad(learning_rate=1e-1), mesh=mesh,
                      step_impl="fused_shard", pallas_interpret=True,
-                     **common)
+                     median_collectives="rounds", **common)
     fa.run(batch, 3)
     xa = SVGDSampler(gd=Adagrad(learning_rate=1e-1), **common)
     xa.run(batch, 3)
@@ -681,8 +686,8 @@ def test_fused_shard_epilogue_ab_equal():
 
 @requires_8_devices
 def test_fused_shard_guards():
-    """fused_shard's option surface fails loudly: f32-only, all_gather
-    only, 1-D particle meshes only, warm bisect only."""
+    """fused_shard's option surface fails loudly: f32-only, 1-D
+    particle meshes only, warm bisect only."""
     theta0, model, batch = _linreg_f32()
     mesh = particle_mesh(jax.devices()[:8])
 
@@ -700,8 +705,8 @@ def test_fused_shard_guards():
         make(dtype=jnp.float64,
              param_template=model.template(jnp.float64),
              theta=jnp.asarray(theta0, jnp.float64))
-    with pytest.raises(ValueError, match="all_gather"):
-        make(comm="ring")
+    # comm='ring' is LEGAL since r5 (grid median only — see
+    # test_ring_fused_shard_guards for the rounds refusal).
     with pytest.raises(ValueError, match="warm-median"):
         make(warm_median=False)
     with pytest.raises(ValueError, match="kernel_impl='xla'"):
@@ -795,4 +800,166 @@ def test_fused_shard_glm_matches_autodiff_grads():
             param_template=lrmodel.template(jnp.float32), theta=theta0,
             dtype=jnp.float32, mesh=mesh,
             quadratic_form=lrmodel.quadratic_form,
+        )
+
+
+@requires_8_devices
+def test_fused_shard_grid_matches_rounds():
+    """median_collectives='grid' (the r5 O(1)-collective warm median,
+    the fused_shard default) vs 'rounds' (the r4 chain): both subdivide
+    the SAME verified candidate bracket to width/256 (g1=16 x g2=16 vs
+    4 quad-ary rounds), so medians agree to that bound and trajectories
+    to the bandwidth-perturbation class."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float32), theta=theta0,
+        dtype=jnp.float32, median="bisect", warm_median=True,
+        warm_passes=8, mesh=mesh, step_impl="fused_shard",
+        pallas_interpret=True,
+    )
+    g = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="grid", **common)
+    aux_g = g.run(batch, 5)
+    r = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="rounds", **common)
+    aux_r = r.run(batch, 5)
+    # Step 1 runs on IDENTICAL particles: the two searches subdivide the
+    # same verified bracket, so medians agree to the width/256 bound.
+    # Later steps run on class-diverged particle sets (same behaviour as
+    # every cross-impl pair in this file), so only the trajectory-class
+    # bound applies there.
+    np.testing.assert_allclose(
+        float(np.asarray(aux_g["median"])[0]),
+        float(np.asarray(aux_r["median"])[0]), rtol=3e-3,
+    )
+    np.testing.assert_allclose(g.samples, r.samples, rtol=2e-2,
+                               atol=2e-4)
+    with pytest.raises(ValueError, match="median_collectives"):
+        SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="bogus", **common)
+
+
+@requires_8_devices
+def test_fused_shard_grid_lowers_to_two_median_psums():
+    """Structural pin of the r5 collective collapse (the VERDICT-r4 #2
+    contract): the grid warm step must lower to exactly FOUR all-reduces
+    — 2 for the median (the batched grid-count psum whose result both
+    selects the bracket and locates the g1-ary sub-bin, plus one g2-ary
+    round) + the clip-norm psum + the log_p pmean, ALL straight-line (4
+    textual = 4 executed) — while the rounds arm shows FIVE textually
+    (pmax + endpoint-count psum + the quad-round psum + the same 2) of
+    which the quad-round one sits inside the warm fori_loop body and
+    EXECUTES warm_passes//2 = 4 times: 8 executed per step. Counting
+    the lowered text keeps the collective budget from silently
+    regressing (pattern: test_ring_warm_lowers_to_ring_...)."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float32), theta=theta0,
+        dtype=jnp.float32, median="bisect", warm_median=True,
+        warm_passes=8, mesh=mesh, step_impl="fused_shard",
+        pallas_interpret=True,
+    )
+
+    def n_all_reduce(s):
+        med0 = jnp.asarray(0.5, jnp.float32)
+        txt = jax.jit(s._warm_step_fn).lower(
+            (s.state, med0), batch
+        ).as_text()
+        return txt.count("all_reduce") + txt.count("all-reduce")
+
+    g = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="grid", **common)
+    r = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="rounds", **common)
+    assert n_all_reduce(g) == 4, n_all_reduce(g)
+    # 5 textual; the fori_loop-resident quad-round psum runs 4x.
+    assert n_all_reduce(r) == 5, n_all_reduce(r)
+
+
+@requires_8_devices
+def test_ring_fused_shard_matches_all_gather():
+    """comm='ring' + step_impl='fused_shard' (r5): median-row packets
+    and gt blocks circulate with ppermute — NOTHING gathers — yet the
+    counted (row, col) multiset is identical to the all-gather grid
+    arm, so step-1 medians agree to the width/2**warm_passes bound (the
+    centers differ only in psum-vs-gathered-mean summation order) and
+    trajectories to the tile-accumulation class."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    common = dict(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float32), theta=theta0,
+        dtype=jnp.float32, median="bisect", warm_median=True,
+        warm_passes=8, mesh=mesh, step_impl="fused_shard",
+        pallas_interpret=True,
+    )
+    a = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="all_gather",
+                    **common)
+    aux_a = a.run(batch, 5)
+    r = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="ring", **common)
+    aux_r = r.run(batch, 5)
+    np.testing.assert_allclose(
+        float(np.asarray(aux_r["median"])[0]),
+        float(np.asarray(aux_a["median"])[0]), rtol=3e-3,
+    )
+    np.testing.assert_allclose(r.samples, a.samples, rtol=2e-2,
+                               atol=2e-4)
+
+    # GLM ring: theta-only circulation, block gradients recomputed per
+    # rotation from the quadratic form — exact algebra, so it tracks
+    # the autodiff ring arm tightly.
+    sb = model.sufficient_batch(batch)
+    g = SVGDSampler(gd=Adam(learning_rate=1e-1), comm="ring",
+                    quadratic_form=model.quadratic_form, **common)
+    g.run(sb, 5)
+    np.testing.assert_allclose(g.samples, r.samples, rtol=1e-4,
+                               atol=1e-7)
+
+
+@requires_8_devices
+def test_ring_fused_shard_lowers_to_ring_collectives():
+    """Structural pin of the r5 ring fused step: the lowered HLO must
+    circulate with collective_permute and must NEVER all-gather; its
+    all-reduce budget is SIX straight-line (center psum + hi_bound pmax
+    + grid-count psum + g2 psum + clip psum + log_p pmean) vs the
+    all-gather grid arm's four (center/hi_bound ride the gathered
+    block there)."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    s = SVGDSampler(
+        n_particles=theta0.shape[0], log_p=model.log_p,
+        param_template=model.template(jnp.float32), theta=theta0,
+        dtype=jnp.float32, median="bisect", warm_median=True,
+        warm_passes=8, mesh=mesh, step_impl="fused_shard",
+        pallas_interpret=True, comm="ring",
+        gd=Adam(learning_rate=1e-1),
+    )
+    med0 = jnp.asarray(0.5, jnp.float32)
+    txt = jax.jit(s._warm_step_fn).lower((s.state, med0), batch).as_text()
+    assert "collective_permute" in txt
+    assert "all_gather" not in txt and "all-gather" not in txt
+    n_ar = txt.count("all_reduce") + txt.count("all-reduce")
+    assert n_ar == 6, n_ar
+    # Cold seed: ring circulation, no gather (the r3 ring search).
+    init_txt = s._warm_init_med.lower(s.state.particles).as_text()
+    assert "collective_permute" in init_txt
+    assert "all_gather" not in init_txt
+
+
+@requires_8_devices
+def test_ring_fused_shard_guards():
+    """ring fused_shard is grid-only; rounds raises loudly."""
+    theta0, model, batch = _linreg_f32()
+    mesh = particle_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="grid"):
+        SVGDSampler(
+            n_particles=theta0.shape[0], log_p=model.log_p,
+            param_template=model.template(jnp.float32), theta=theta0,
+            dtype=jnp.float32, median="bisect", warm_median=True,
+            mesh=mesh, step_impl="fused_shard", comm="ring",
+            median_collectives="rounds", gd=Adam(learning_rate=1e-1),
         )
