@@ -463,7 +463,7 @@ def main():
     # theta-only-gather path, as throughput_config(mesh=, model=)
     # selects. Real multi-chip scaling is projected by
     # benchmarks/scaling_model.py (one chip here).
-    def bench_mesh1():
+    def bench_mesh1(**kw):
         from jax.sharding import Mesh
         import jax as _jax
         mesh = Mesh(np.asarray(_jax.devices()[:1]), ("particles",))
@@ -475,11 +475,72 @@ def main():
             median="bisect", median_passes=16, warm_median=True,
             warm_passes=6, quadratic_form=model.quadratic_form,
             median_max_rows=256,   # r4 sweep: 33.5 -> 30.0 us
+            **kw,
         )
-    t_mesh = try_config("mesh1_fused_shard", bench_mesh1)
+    # Headline mesh row: median_collectives='rounds' — the measured
+    # 1-device-mesh best (throughput_config's n_dev==1 pick; the grid
+    # arm trades ~2.4 us of in-kernel count work for 4 fewer executed
+    # all-reduces, which only pays on real multi-device meshes —
+    # benchmarks/mesh_grid_probe.py r5).
+    t_mesh = try_config("mesh1_fused_shard",
+                        lambda: bench_mesh1(median_collectives="rounds"))
     if t_mesh:
         extra["mesh1_fused_shard_updates_per_s"] = round(n1 / t_mesh, 1)
         extra["mesh1_fused_shard_step_us"] = round(t_mesh * 1e6, 2)
+    # The r5 collective-structure arms, captured per round so the
+    # multi-host-oriented paths cannot silently regress: the O(1)-
+    # collective grid median (4 vs 8 executed all-reduces) and the
+    # ring layout (ppermute circulation, nothing gathered).
+    t_grid = try_config("mesh1_fused_shard_grid", lambda: bench_mesh1(
+        median_collectives="grid", median_grid_g1=8))
+    if t_grid:
+        extra["mesh1_fused_shard_grid_step_us"] = round(t_grid * 1e6, 2)
+    t_ring = try_config("mesh1_fused_shard_ring", lambda: bench_mesh1(
+        median_collectives="grid", median_grid_g1=8, comm="ring"))
+    if t_ring:
+        extra["mesh1_fused_shard_ring_step_us"] = round(t_ring * 1e6, 2)
+
+    # Large-n mesh row (r5, VERDICT r4 #8): the n=8192/p=64 fused_shard
+    # shape from RESULTS.md r4 (p=64 keeps the bracket kernel inside
+    # its VMEM gate at 64 global median rows), rounds + grid arms.
+    def bench_mesh_large(**kw):
+        from jax.sharding import Mesh
+        import jax as _jax
+        import jax.numpy as jnp
+        from stein_tpu import SVGDSampler, Adam
+        from stein_tpu.models import LinearRegressionModel
+        rng = np.random.default_rng(2)
+        p64 = 64
+        Xl = rng.normal(size=(N_OBS, p64))
+        yl = Xl @ rng.normal(size=(p64, 1)) + rng.normal(
+            size=(N_OBS, 1)) * 0.3
+        th0 = rng.normal(size=(8192, p64)) * 0.01
+        mesh = Mesh(np.asarray(_jax.devices()[:1]), ("particles",))
+        model = LinearRegressionModel(p64)
+        batch = model.sufficient_batch(
+            {"X": jnp.asarray(Xl, jnp.float32),
+             "y": jnp.asarray(yl, jnp.float32)})
+        sampler = SVGDSampler(
+            n_particles=8192, log_p=model.log_p,
+            param_template=model.template(), gd=Adam(learning_rate=1e-1),
+            theta=jnp.asarray(th0, jnp.float32), mesh=mesh,
+            step_impl="fused_shard", pallas_block=1024,
+            median="bisect", median_passes=16, warm_median=True,
+            warm_passes=6, median_max_rows=64,
+            quadratic_form=model.quadratic_form, **kw,
+        )
+        return slope_time(sampler, batch, K=400, R=6, reps=3)
+
+    for tag, kw in (("meshL_fused_shard",
+                     dict(median_collectives="rounds")),
+                    ("meshL_fused_shard_grid",
+                     dict(median_collectives="grid", median_grid_g1=8))):
+        def run_l(kw=kw):
+            ts = [bench_mesh_large(**kw) for _ in range(3)]
+            return sorted(ts)[1]
+        t_l = try_config(tag, run_l)
+        if t_l:
+            extra[f"{tag}_step_us"] = round(t_l * 1e6, 2)
 
     # Config 2: n=10240, Pallas streaming kernel + bisect median
     # (BASELINE.json config #4 — "blocked kernel-matrix tiles, on-device
