@@ -500,6 +500,32 @@ def main():
     if t_ring:
         extra["mesh1_fused_shard_ring_step_us"] = round(t_ring * 1e6, 2)
 
+    # NN-mesh row (r5, VERDICT r4 #4/#8): the Bayesian-NN shape on a
+    # 1-device mesh through fused_shard + the hand-derived gradient
+    # kernel (custom_grads=model.pallas_grads — the r4 single-device
+    # win carried onto the mesh: 80.5 -> 67.5 us,
+    # benchmarks/nn_mesh_probe.py).
+    def bench_nn_mesh():
+        from jax.sharding import Mesh
+        import jax as _jax
+        from benchmarks.nn_bench import make_problem, make_sampler
+        mesh = Mesh(np.asarray(_jax.devices()[:1]), ("particles",))
+        model, nn_batch = make_problem(1000)
+        ts = []
+        for _ in range(3):
+            s = make_sampler(
+                model, 1000, mesh=mesh, median="bisect",
+                warm_median=True, step_impl="fused_shard",
+                pallas_block=256, median_max_rows=128,
+                median_collectives="rounds",
+                custom_grads=model.pallas_grads(),
+            )
+            ts.append(slope_time(s, nn_batch, K=2000, R=6, reps=3))
+        return sorted(ts)[1]
+    t_nnm = try_config("nn_mesh_fused_shard", bench_nn_mesh)
+    if t_nnm:
+        extra["nn_mesh_fused_shard_step_us"] = round(t_nnm * 1e6, 2)
+
     # Large-n mesh row (r5, VERDICT r4 #8): the n=8192/p=64 fused_shard
     # shape from RESULTS.md r4 (p=64 keeps the bracket kernel inside
     # its VMEM gate at 64 global median rows), rounds + grid arms.

@@ -32,10 +32,24 @@ def main():
     n = 1000
     mesh = particle_mesh(jax.devices()[:1])
     out = {}
+    # r5: the NN gradient kernel (custom_grads=model.pallas_grads) on
+    # the mesh — the hook is row-local, so it replaces the per-shard
+    # vmap-autodiff stage in every 1-D mesh step incl. fused_shard.
+    from benchmarks.nn_bench import make_problem as _mp
+    _model0, _ = _mp(n)
+    hook = _model0.pallas_grads()
+    # (median='bisect' + warm_median=True come from the shared call.)
+    fshard = dict(step_impl="fused_shard", pallas_block=256,
+                  median_max_rows=128, median_collectives="rounds")
     for label, kw in (
         ("mesh_xla", dict(kernel_impl="xla")),
         ("mesh_pallas_blk256", dict(kernel_impl="pallas",
                                     pallas_block=256)),
+        ("mesh_fused_shard", dict(fshard)),
+        ("mesh_fused_shard_nngrads", dict(fshard, custom_grads=hook)),
+        ("mesh_pallas_nngrads", dict(kernel_impl="pallas",
+                                     pallas_block=256,
+                                     custom_grads=hook)),
     ):
         model, batch = make_problem(n)
         s = make_sampler(model, n, mesh=mesh, median="bisect",

@@ -58,11 +58,19 @@ HOP_LAT_S = 2.0e-6
 # psums (warm_passes=6..8) + clip psum + the gather/circulation itself.
 N_COLL_WARM = 6
 N_COLL_COLD = 11        # 1 + ceil(16/2) + clip + gather
+# r5 GRID warm median (median_collectives='grid',
+# ops/median.sharded_warm_from_grid): bracket selection + g1-ary
+# sub-bin location ride ONE batched psum, the g2 finish is local —
+# 2 median psums + clip + gather. throughput_config picks grid on
+# real (n_dev>=2) meshes precisely because this count is what
+# multiplies the per-hop latency below.
+N_COLL_GRID = 4
 
 
 def step_time(n, p, hosts, layout="all_gather", warm=True,
               tflops=MEASURED_TFLOPS, ici=ICI_BYTES_PER_S,
-              hop_lat=HOP_LAT_S, t_other=T_OTHER_S, glm=False):
+              hop_lat=HOP_LAT_S, t_other=T_OTHER_S, glm=False,
+              median="rounds"):
     """Projected per-step wall time (seconds) for one host.
 
     ``glm=True`` models the r4 fused_shard GLM path
@@ -70,10 +78,18 @@ def step_time(n, p, hosts, layout="all_gather", warm=True,
     derives the gradients from the gathered block, halving the
     all-gather volume — the layout's dominant ICI traffic.
 
+    ``median='grid'`` models the r5 O(1)-collective warm search
+    (median_collectives='grid'): 4 serial collectives per step vs the
+    rounds chain's 6 — the pick throughput_config makes on real
+    meshes.
+
     Returns (t_total, parts dict)."""
     flops = 6.0 * (n / hosts) * n * p
     t_tile = flops / (tflops * 1e12)
-    n_coll = N_COLL_WARM if warm else N_COLL_COLD
+    if warm:
+        n_coll = N_COLL_GRID if median == "grid" else N_COLL_WARM
+    else:
+        n_coll = N_COLL_COLD
     t_lat = n_coll * (hosts - 1) * hop_lat
     t_other = t_other / hosts + T_FIXED_S
     gathered = 4.0 if glm else 8.0   # bytes/particle/param: theta / theta+G
@@ -122,6 +138,10 @@ def main():
             gl = efficiency(n, p, h, "all_gather", glm=True)
             row.append(f"{ag*100:3.0f}/{ri*100:3.0f}/{gl*100:3.0f}%")
         print(" | ".join(row))
+    g2 = efficiency(args.n, p, 2, "ring", median="grid")
+    r2 = efficiency(args.n, p, 2, "ring")
+    print(f"grid median (4 vs 6 serial collectives): ring H=2 "
+          f"{r2*100:.1f}% -> {g2*100:.1f}% at n={args.n}")
     t1, parts = step_time(args.n, p, 1)
     print(f"1-host anchor at n={args.n}: {t1*1e3:.3f} ms projected "
           f"(measured ~0.52-0.62 ms at n=10240 — the model's anchor)")

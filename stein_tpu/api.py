@@ -909,6 +909,20 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
                         _probe_model_hooks(model, n_particles, n_params,
                                            probe_batch)
                     cfg["quadratic_form"] = model.quadratic_form
+                elif model is not None and hasattr(model,
+                                                   "pallas_grads"):
+                    # Model-supplied gradient kernel on the mesh (r5):
+                    # the hook is row-local, so it runs per shard
+                    # unchanged inside fused_shard's gradient stage —
+                    # the r4 single-device NN win carries over
+                    # (NN-shape mesh step: 80.5 -> 67.5 us on the
+                    # 1-device mesh, benchmarks/nn_mesh_probe.py r5).
+                    hook = model.pallas_grads(
+                        interpret=pallas_interpret)
+                    if probe_batch is not None:
+                        _probe_custom_grads(hook, n_particles,
+                                            n_params, probe_batch)
+                    cfg["custom_grads"] = hook
             elif large:
                 # Beyond the bracket kernel's VMEM gate: the streaming
                 # tile alone (the r3 large-n mesh pick).
@@ -1033,10 +1047,16 @@ class SVGDSampler:
         where autodiff emits MXU-starved batched dots, e.g.
         models.BayesianNNModel.pallas_grads() (the hand-derived
         elementwise backward: NN step 65.4 -> 53.1 us, RESULTS.md r4).
-        step_impl="xla" / kernel_impl paths only (the fused tails own
-        their gradient stage); single-device; incompatible with remat.
+        step_impl="xla" / kernel_impl paths only (the single-device
+        fused tails own their gradient stage); incompatible with remat.
+        Runs on 1-D particle MESHES too (r5): gradients are
+        per-particle, so the hook applies to each shard's [n_loc, p]
+        block unchanged — all comm modes and step_impl='fused_shard'
+        (without quadratic_form, which replaces the gradient stage);
+        2-D meshes refuse (the parameter dim is sharded there).
         throughput_config(model=...) wires it on the large-p branch
-        when the model exposes ``pallas_grads``.
+        when the model exposes ``pallas_grads`` — single-device AND
+        1-D mesh.
     binned_bins / binned_block_rows : tuning for median="binned".
     mesh / particle_axis : optional jax.sharding.Mesh for particle-sharded
         multi-chip execution (stein_tpu.parallel). On a 1-D particle mesh
@@ -1487,12 +1507,19 @@ class SVGDSampler:
                     "gradients from the gathered block); drop the hook "
                     "or set step_impl='fused_shard'"
                 )
-            if custom_grads is not None:
+            if custom_grads is not None and model_axis is not None:
                 raise ValueError(
-                    "custom_grads= is single-device only: the sharded "
-                    "steps' gradient stage runs per shard on [n_local, p] "
-                    "blocks, a different contract than the hook's "
-                    "(theta [n, p], batch) -> (logp_vals, grads)"
+                    "custom_grads= runs on 1-D particle meshes only: "
+                    "on a 2-D (particles x model) mesh the parameter "
+                    "dimension is sharded too, and the hook's contract "
+                    "is full [n, p] rows"
+                )
+            if custom_grads is not None and quadratic_form is not None:
+                raise ValueError(
+                    "custom_grads= and quadratic_form= both replace the "
+                    "gradient stage — pass one (quadratic_form derives "
+                    "gradients from the quadratic algebra; custom_grads "
+                    "supplies them directly)"
                 )
             if step_impl == "fused_shard":
                 if model_axis is not None:
@@ -1562,6 +1589,8 @@ class SVGDSampler:
                             kernel_impl=kernel_impl,
                             pallas_block=pallas_block,
                             pallas_interpret=pallas_interpret,
+                            median_collectives=median_collectives,
+                            median_grid_g1=median_grid_g1,
                         )
             else:
                 from .parallel.sharded import make_sharded_step
@@ -1578,6 +1607,7 @@ class SVGDSampler:
                         kernel_impl=kernel_impl, pallas_block=pallas_block,
                         pallas_interpret=pallas_interpret,
                         pallas_precision=pallas_precision,
+                        custom_grads=custom_grads,
                     )
                 if step_impl == "fused_shard":
                     from .parallel.sharded_fused import (
@@ -1599,6 +1629,7 @@ class SVGDSampler:
                             median_collectives=median_collectives,
                             median_grid_g1=median_grid_g1,
                             comm=comm,
+                            custom_grads=custom_grads,
                         )
                 elif warm_median:
                     from .parallel.sharded import make_sharded_warm_step
@@ -1617,6 +1648,7 @@ class SVGDSampler:
                             pallas_interpret=pallas_interpret,
                             pallas_precision=pallas_precision,
                             comm=comm,
+                            custom_grads=custom_grads,
                         )
 
         self._posterior_cache = {}
@@ -1768,7 +1800,12 @@ class SVGDSampler:
         """Kernel Stein discrepancy of the current particles w.r.t. the
         target defined by log_p on ``batch`` — a quantitative convergence
         diagnostic (smaller = closer to stationarity). One jitted device
-        call (scores + KSD matmuls)."""
+        call (scores + KSD matmuls). On sharded samplers the particles
+        stay sharded and GSPMD inserts the gather the [n, n] KSD
+        matmuls need (an [n, p] all-gather — the same volume as one
+        training step's collective; value pinned against the
+        single-device ksd by tests/test_sharded.py and
+        test_sharded2d.py)."""
         if self._jit_ksd is None:
             from .ops.diagnostics import ksd_rbf
 

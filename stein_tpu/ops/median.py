@@ -632,6 +632,35 @@ def sharded_warm_bisect_median_on_D(D_rows, med_prev, axis_name,
                         axis_name=axis_name, total=m_global * n)
 
 
+def sharded_warm_grid_on_D(D_rows, med_prev, hi_bound, axis_name,
+                           max_rows=512, warm_passes=8,
+                           brackets=DEFAULT_BRACKETS, g1=8):
+    """The O(1)-collective GRID warm search for callers that already
+    materialised their local [n_loc, n] distance rows (the 2-D mesh
+    step, parallel/sharded2d.py — D_rows is psum'd over the model axis
+    and so replicated there; the particle axis is the only one counted
+    over). No kernel needed: the grid counts are ONE fused XLA read of
+    the subsampled rows (every edge's compare folds into the same
+    traversal), then sharded_warm_from_grid finishes with its two
+    batched psums — vs pmin/pmax + endpoint psum + one psum per
+    quad-ary round for the rounds search. ``hi_bound`` must bound every
+    D entry shard-identically; 2-D callers get it free from the
+    psum'd column norms (|a-b|^2 <= 4 max |x|^2, no centering needed
+    for a BOUND). Same width/2**warm_passes contract as everywhere."""
+    n_loc, n = D_rows.shape
+    idx, m_global = _local_row_idx(n_loc, axis_name, max_rows)
+    D = D_rows[idx]
+    from .pallas_median import grid_edges
+    edges = grid_edges(med_prev, hi_bound, brackets, g1)
+    cnts = jnp.stack(
+        [jnp.sum(D <= t, dtype=jnp.int32) for t in edges])
+    return sharded_warm_from_grid(
+        D, med_prev, cnts, hi_bound, axis_name,
+        total=m_global * n, warm_passes=warm_passes,
+        brackets=brackets, g1=g1,
+    )
+
+
 def _sharded_bisect_on_rows(Ds, axis_name, total, passes):
     """Shared core of the distributed bisect medians: every shard holds a
     row block ``Ds`` of the global sample (``total`` entries across the

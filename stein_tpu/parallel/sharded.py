@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..api import SVGDState
+from ..api import SVGDState, _make_grad_all
 from ..ops.median import binned_median, _row_block_sq_dists
 from ..ops.rbf import bandwidth_sq_from_median
 
@@ -283,7 +283,7 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                       comm="all_gather", remat=False, median_max_rows=512,
                       median_passes=30, kernel=None, kernel_impl="xla",
                       pallas_block=1024, pallas_interpret=False,
-                      pallas_precision="f32"):
+                      pallas_precision="f32", custom_grads=None):
     """Build (step_fn, jitted_step, sharded_state) for the mesh.
 
     Returns the raw SPMD step (for composition/testing), its jitted form
@@ -318,13 +318,11 @@ def make_sharded_step(log_p, unravel_fn, gd, n_particles, state, mesh,
             f"{n_dev}-way particle axis {axis!r}"
         )
 
-    def log_p_flat(theta_row, batch):
-        return log_p(unravel_fn(theta_row), batch)
-
-    if remat:
-        log_p_flat = jax.checkpoint(log_p_flat)
-
-    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+    # Per-shard gradient stage: vmap-autodiff, or the row-local
+    # custom_grads hook (gradients are per-particle, so any valid hook
+    # applies to an [n_loc, p] shard block unchanged — 1-D meshes only,
+    # api.py guards the 2-D case where params are sharded too).
+    grad_all = _make_grad_all(log_p, unravel_fn, remat, custom_grads)
 
     if comm not in ("all_gather", "ring"):
         raise ValueError(f"unknown comm mode: {comm!r}")
@@ -510,7 +508,7 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
                            median_passes=30, warm_passes=8,
                            kernel_impl="xla", pallas_block=1024,
                            pallas_interpret=False, pallas_precision="f32",
-                           comm="all_gather"):
+                           comm="all_gather", custom_grads=None):
     """Warm-median variant of the sharded step for the scan loops
     (api.run / train_on_batches): carry is (SVGDState, med_prev), and the
     bandwidth search refines the previous step's median inside a
@@ -550,13 +548,11 @@ def make_sharded_warm_step(log_p, unravel_fn, gd, n_particles, state, mesh,
         sharded_warm_bisect_median_on_D,
     )
 
-    def log_p_flat(theta_row, batch):
-        return log_p(unravel_fn(theta_row), batch)
-
-    if remat:
-        log_p_flat = jax.checkpoint(log_p_flat)
-
-    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+    # Per-shard gradient stage: vmap-autodiff, or the row-local
+    # custom_grads hook (gradients are per-particle, so any valid hook
+    # applies to an [n_loc, p] shard block unchanged — 1-D meshes only,
+    # api.py guards the 2-D case where params are sharded too).
+    grad_all = _make_grad_all(log_p, unravel_fn, remat, custom_grads)
 
     def spmd_warm_ring_step(carry, batch):
         state, med_prev = carry

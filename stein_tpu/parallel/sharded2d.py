@@ -111,7 +111,7 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
-    def compute_med_cold(D_rows):
+    def compute_med_cold(D_rows, rsq_all):
         # Global median over all n^2 entries (compute_median.py:4-16):
         # row blocks live on the particle axis.
         if median == "exact":
@@ -184,7 +184,11 @@ def _d_rows_2d(theta_blk, theta_cols, model_axis):
         precision=jax.lax.Precision.HIGHEST,
     )                                             # [n_loc, n]
     gram = jax.lax.psum(partial_gram, model_axis)
-    return rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+    D = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
+    # rsq_all rides along: 4 * max |x|^2 bounds every D entry (no
+    # centering needed for a BOUND), which the grid warm search uses as
+    # its shard-identical fallback range — free of any extra collective.
+    return D, rsq_all
 
 
 def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
@@ -216,9 +220,9 @@ def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
         grads_blk, particle_axis, tiled=True
     )                                             # [n, p_loc]
 
-    D_rows = _d_rows_2d(theta_blk, theta_cols, model_axis)
+    D_rows, rsq_all = _d_rows_2d(theta_blk, theta_cols, model_axis)
 
-    med = compute_med(D_rows)
+    med = compute_med(D_rows, rsq_all)
     from ..ops.rbf import bandwidth_sq_from_median
     h2 = bandwidth_sq_from_median(med, n_particles)
 
@@ -293,18 +297,32 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
                              remat=False, median_max_rows=512,
                              median_passes=30, warm_passes=8,
                              kernel_impl="xla", pallas_block=512,
-                             pallas_interpret=False):
+                             pallas_interpret=False,
+                             median_collectives="rounds",
+                             median_grid_g1=8):
     """Warm-median variant of the 2-D step for the scan loops (api.run /
     train_on_batches): carry is (SVGDState, med_prev); the warm counts
-    run on the already-psum'd local D rows
-    (ops/median.sharded_warm_bisect_median_on_D, psum'd over the particle
+    run on the already-psum'd local D rows, psum'd over the particle
     axis only — D_rows is replicated over the model axis, so every shard
-    refines the same interval). RBF kernel only, mirroring the 1-D warm
-    step. Returns (warm_step_fn, init_med_fn)."""
+    refines the same interval. RBF kernel only, mirroring the 1-D warm
+    step. Returns (warm_step_fn, init_med_fn).
+
+    ``median_collectives`` (r5): 'rounds' (default) is the quad-ary
+    chain (ops/median.sharded_warm_bisect_median_on_D); 'grid' is the
+    O(1)-collective search (ops/median.sharded_warm_grid_on_D — the
+    fallback range comes free from the psum'd column norms, the grid
+    counts are one fused XLA read, TWO batched psums total). Same
+    width/2**warm_passes bound; throughput_config picks by particle-
+    axis size exactly as on 1-D meshes."""
     from ..ops.median import (
         sharded_bisect_median_on_D,
         sharded_warm_bisect_median_on_D,
+        sharded_warm_grid_on_D,
     )
+    if median_collectives not in ("grid", "rounds"):
+        raise ValueError(
+            f"unknown median_collectives mode: {median_collectives!r}"
+        )
 
     def log_p_flat(theta_row, batch):
         return log_p(unravel_fn(theta_row), batch)
@@ -316,12 +334,22 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
 
     def spmd_warm_step(carry, batch):
         state, med_prev = carry
+        if median_collectives == "grid":
+            def compute_med(D_rows, rsq_all):
+                hi_bound = 4.0 * jnp.max(rsq_all) * 1.0001 + 1e-30
+                return sharded_warm_grid_on_D(
+                    D_rows, med_prev, hi_bound, particle_axis,
+                    max_rows=median_max_rows, warm_passes=warm_passes,
+                    g1=median_grid_g1,
+                )
+        else:
+            def compute_med(D_rows, rsq_all):
+                return sharded_warm_bisect_median_on_D(
+                    D_rows, med_prev, particle_axis,
+                    max_rows=median_max_rows, warm_passes=warm_passes,
+                )
         new_state, aux = _core_step_2d(
-            state, batch,
-            lambda D_rows: sharded_warm_bisect_median_on_D(
-                D_rows, med_prev, particle_axis,
-                max_rows=median_max_rows, warm_passes=warm_passes,
-            ),
+            state, batch, compute_med,
             grad_all=grad_all, gd=gd, kernel=None,
             n_particles=n_particles, particle_axis=particle_axis,
             model_axis=model_axis, max_phi_norm=max_phi_norm,
@@ -350,7 +378,7 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
         theta_cols = jax.lax.all_gather(
             theta_blk, particle_axis, tiled=True
         )
-        D_rows = _d_rows_2d(theta_blk, theta_cols, model_axis)
+        D_rows, _ = _d_rows_2d(theta_blk, theta_cols, model_axis)
         return sharded_bisect_median_on_D(
             D_rows, particle_axis, max_rows=median_max_rows,
             passes=median_passes,

@@ -66,6 +66,7 @@ from ..ops.pallas_median import (
 from ..ops.pallas_step import fused_epilogue
 from ..ops.pallas_svgd import pallas_svgd_both_ksum
 from ..ops.rbf import bandwidth_sq_from_median
+from ..api import _make_grad_all
 from .sharded import SVGDState, _state_specs
 
 
@@ -79,7 +80,7 @@ def make_sharded_fused_warm_step(log_p, unravel_fn, gd, n_particles,
                                  epilogue="xla", quadratic_form=None,
                                  median_collectives="grid",
                                  median_grid_g1=16,
-                                 comm="all_gather"):
+                                 comm="all_gather", custom_grads=None):
     """Build (warm_step_fn, init_med_fn) — the same contract as
     parallel/sharded.make_sharded_warm_step — for the fused mesh step.
     f32 / RBF / all_gather / 1-D particle mesh only (api.py guards);
@@ -158,13 +159,9 @@ def make_sharded_fused_warm_step(log_p, unravel_fn, gd, n_particles,
             "unfused mesh step (step_impl='xla')"
         )
 
-    def log_p_flat(theta_row, batch):
-        return log_p(unravel_fn(theta_row), batch)
-
-    if remat:
-        log_p_flat = jax.checkpoint(log_p_flat)
-
-    grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
+    # Per-shard gradient stage: vmap-autodiff, or the row-local
+    # custom_grads hook (api.py guards meshes with a model axis).
+    grad_all = _make_grad_all(log_p, unravel_fn, remat, custom_grads)
 
     def spmd_fused_step(carry, batch):
         state, med_prev = carry

@@ -198,12 +198,18 @@ np.testing.assert_allclose(
 
 # Warm median on the cross-process 2-D mesh: the warm counts run on the
 # D rows whose Gram psum already crossed the process boundary.
+# median_collectives='rounds' pins the tight comparison — the single-
+# device warm search IS the quad-rounds structure (the r5 'grid' arm is
+# a different-interval class, pinned in-process by test_sharded2d.py::
+# test_2d_grid_matches_rounds; its batched median psums cross THIS
+# process boundary via the fs_grid arm below).
 s2d_warm = SVGDSampler(
     n_particles=16, log_p=model8.log_p,
     param_template=model8.template(jnp.float64),
     gd=Adam(learning_rate=1e-1), theta=jnp.asarray(theta8),
     dtype=jnp.float64, mesh=mesh2d, model_axis="model",
     median="bisect", warm_median=True, warm_passes=8,
+    median_collectives="rounds",
 )
 s2d_warm.run(batch8, 4)
 ref2d_warm = SVGDSampler(

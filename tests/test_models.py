@@ -316,9 +316,14 @@ def test_custom_grads_sampler_matches_autodiff():
 
     with pytest.raises(ValueError, match="custom_grads"):
         make(custom_grads=model.pallas_grads(interpret=True), remat=True)
-    with pytest.raises(ValueError, match="single-device"):
+    # 1-D meshes ACCEPT the hook since r5 (it is row-local; parity
+    # pinned by tests/test_sharded.py::test_mesh_custom_grads_...);
+    # only 2-D meshes refuse.
+    m2 = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+              ("particles", "model"))
+    with pytest.raises(ValueError, match="1-D particle"):
         make(custom_grads=model.pallas_grads(interpret=True),
-             mesh=Mesh(np.asarray(jax.devices()[:1]), ("particles",)))
+             mesh=m2, model_axis="model")
     with pytest.raises(ValueError, match="custom_grads"):
         make(custom_grads=model.pallas_grads(interpret=True),
              step_impl="fused_gram", median_impl="fused")

@@ -657,3 +657,54 @@ def test_train_minibatched():
     c = make()
     c.train_minibatched(data, 300, n_batch, jax.random.PRNGKey(4))
     assert not np.array_equal(np.asarray(c.samples), sa)
+
+
+def test_throughput_config_mesh_r5_picks():
+    """r5 mesh decisions: median_collectives by mesh size (rounds when
+    collectives are degenerate, grid g1=8 on real meshes — measured,
+    benchmarks/mesh_grid_probe.py), and the NN gradient kernel wired on
+    the mesh branch for models exposing pallas_grads (the hook is
+    row-local, so it runs per shard); GLM models keep quadratic_form
+    (the two hooks are mutually exclusive)."""
+    from jax.sharding import Mesh
+    from stein_tpu import throughput_config
+    from stein_tpu.models import BayesianNNModel, LinearRegressionModel
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("particles",))
+    mesh2 = Mesh(np.asarray(jax.devices()[:2]), ("particles",))
+    cfg1 = throughput_config(1000, 128, mesh=mesh1)
+    assert cfg1["median_collectives"] == "rounds"
+    cfg2 = throughput_config(1000, 128, mesh=mesh2)
+    assert cfg2["median_collectives"] == "grid"
+    assert cfg2["median_grid_g1"] == 8
+
+    nn = BayesianNNModel(1, 100, n_train=20, n_batch=20)
+    cfg_nn = throughput_config(1000, 303, mesh=mesh2, model=nn,
+                               pallas_interpret=True)
+    assert cfg_nn["step_impl"] == "fused_shard"
+    assert callable(cfg_nn["custom_grads"])
+    assert "quadratic_form" not in cfg_nn
+
+    lin = LinearRegressionModel(4)
+    cfg_lin = throughput_config(64, 4, mesh=mesh2, model=lin)
+    assert cfg_lin["quadratic_form"] == lin.quadratic_form
+    assert "custom_grads" not in cfg_lin
+
+    # The NN mesh config constructs and runs (interpret kernels).
+    from stein_tpu.utils.ravel import template_unraveler
+    n_params, _ = template_unraveler(nn.template(jnp.float32))
+    assert n_params == 303
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(20, 1))
+    y = np.cos(10 * X) * (5 * X)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    s = SVGDSampler(
+        n_particles=16, log_p=nn.log_p,
+        param_template=nn.template(jnp.float32),
+        gd=Adam(learning_rate=1e-2),
+        **dict(cfg_nn, mesh=Mesh(np.asarray(jax.devices()[:8]),
+                                 ("particles",))),
+    )
+    s.run(batch, 2)
+    assert np.isfinite(np.asarray(s.samples)).all()

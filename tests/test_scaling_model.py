@@ -47,3 +47,20 @@ def test_projected_target_regime():
     # In the compute-bound regime both layouts clear the target.
     assert efficiency(40960, 128, 2, "all_gather") >= 0.8
     assert efficiency(163840, 128, 8, "ring") >= 0.95
+
+
+def test_grid_median_reduces_latency_term():
+    """The r5 grid warm median (median_collectives='grid') cuts the
+    serial-collective count 6 -> 4; the model's latency term and hence
+    multi-host efficiency must improve, and nothing changes on one
+    host (no collectives to save)."""
+    for h in (2, 4, 8):
+        tg, pg = step_time(10240, 128, h, "ring", median="grid")
+        tr, pr = step_time(10240, 128, h, "ring", median="rounds")
+        assert pg["lat"] < pr["lat"], (h, pg, pr)
+        assert tg < tr
+        assert efficiency(10240, 128, h, "ring", median="grid") > \
+            efficiency(10240, 128, h, "ring")
+    t1g, _ = step_time(10240, 128, 1, "ring", median="grid")
+    t1r, _ = step_time(10240, 128, 1, "ring")
+    assert t1g == t1r

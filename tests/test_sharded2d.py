@@ -139,9 +139,12 @@ def test_2d_warm_median_matches_single_warm():
         warm_median=True, warm_passes=8,
     )
     single = SVGDSampler(gd=Adam(learning_rate=1e-1), **common)
+    # median_collectives='rounds': the single-device warm search IS the
+    # quad-rounds structure, so that arm is the tight comparator; the
+    # r5 'grid' arm is pinned against it by test_2d_grid_matches_rounds.
     sharded = SVGDSampler(
         gd=Adam(learning_rate=1e-1), mesh=_mesh_4x2(), model_axis="model",
-        **common,
+        median_collectives="rounds", **common,
     )
     aux_s = single.run(batch, 6)
     aux_m = sharded.run(batch, 6)
@@ -265,3 +268,52 @@ def test_sharded2d_warm_pallas_runs():
     a.run(batch, 4)
     b.run(batch, 4)
     np.testing.assert_allclose(b.samples, a.samples, rtol=1e-5, atol=1e-8)
+
+
+@requires_8_devices
+def test_2d_grid_matches_rounds():
+    """median_collectives='grid' on the 2-D mesh (r5): the O(1)-
+    collective search on the psum'd D rows — step-1 medians agree with
+    the rounds chain to the width/2**warm_passes bound (identical
+    particles), trajectories to the bandwidth-perturbation class; and
+    the lowered warm step's all-reduce budget is pinned: the median's
+    contribution is TWO psums (grid) vs pmin/pmax + endpoint psum +
+    the loop-resident round psum (rounds)."""
+    theta0, model, batch = _setup()
+    n, p = theta0.shape
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64, median="bisect",
+        warm_median=True, warm_passes=8, mesh=_mesh_4x2(),
+        model_axis="model",
+    )
+    g = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="grid", **common)
+    aux_g = g.run(batch, 5)
+    r = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="rounds", **common)
+    aux_r = r.run(batch, 5)
+    np.testing.assert_allclose(
+        float(np.asarray(aux_g["median"])[0]),
+        float(np.asarray(aux_r["median"])[0]), rtol=3e-3,
+    )
+    np.testing.assert_allclose(g.samples, r.samples, rtol=2e-2,
+                               atol=2e-4)
+
+    def n_all_reduce(s):
+        med0 = jnp.asarray(0.5, jnp.float64)
+        txt = jax.jit(s._warm_step_fn).lower(
+            (s.state, med0), batch
+        ).as_text()
+        return txt.count("all_reduce") + txt.count("all-reduce")
+
+    # The 2-D step's non-median all-reduces: 3 D-row psums (rsq_loc,
+    # rsq_all, partial Gram — model axis), the two-axis clip psums (2),
+    # and the log_p pmean (1) = 6. Median: grid adds its 2 batched
+    # psums (8 total, straight-line); rounds adds the batched [-lo,hi]
+    # pmax + the endpoint psum + the fori_loop-resident round psum
+    # (9 textual, the loop one EXECUTING warm_passes//2 = 4 times:
+    # 12 executed vs grid's 8).
+    assert n_all_reduce(g) == 8, n_all_reduce(g)
+    assert n_all_reduce(r) == 9, n_all_reduce(r)
