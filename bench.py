@@ -24,7 +24,11 @@ NN regression at n=1000 through the gradient kernel (config #3); the
 n=1k fused_glm variant; and config #5's per-shard program on a
 1-device mesh (mesh1_fused_shard_*, step_impl='fused_shard' with GLM
 theta-only gather — real multi-host scaling is projected by
-benchmarks/scaling_model.py; one chip here).
+benchmarks/scaling_model.py; one chip here) plus its r5 collective
+arms (mesh1_fused_shard_grid/_ring), the large-n mesh rows
+(meshL_fused_shard*, n=8192/p=64), the NN shape on the mesh through
+the gradient kernel (nn_mesh_fused_shard), and the tuned 2-D
+(particles x model) mesh config (mesh2d).
 """
 
 import json
@@ -525,6 +529,25 @@ def main():
     t_nnm = try_config("nn_mesh_fused_shard", bench_nn_mesh)
     if t_nnm:
         extra["nn_mesh_fused_shard_step_us"] = round(t_nnm * 1e6, 2)
+
+    # 2-D (particles x model) mesh row (r5, VERDICT r4 #5): the tuned
+    # throughput_config(model_axis=) selection end-to-end on a
+    # (1,1)-device 2-D mesh — Pallas tile on the psum'd D rows blk512 +
+    # warm rounds median (42.95 us measured at this shape,
+    # benchmarks/mesh2d_probe.py).
+    def bench_mesh2d():
+        from jax.sharding import Mesh
+        import jax as _jax
+        from stein_tpu import throughput_config
+        mesh = Mesh(np.asarray(_jax.devices()[:1]).reshape(1, 1),
+                    ("particles", "model"))
+        cfg = throughput_config(n1, N_PARAMS, mesh=mesh,
+                                model_axis="model")
+        return bench_jax(X, y, theta0, K=2000, R=8, reps=3,
+                         warm_passes=6, **cfg)
+    t_2d = try_config("mesh2d", bench_mesh2d)
+    if t_2d:
+        extra["mesh2d_step_us"] = round(t_2d * 1e6, 2)
 
     # Large-n mesh row (r5, VERDICT r4 #8): the n=8192/p=64 fused_shard
     # shape from RESULTS.md r4 (p=64 keeps the bracket kernel inside

@@ -861,7 +861,32 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
     if mesh is not None:
         cfg["mesh"] = mesh
         if model_axis is not None:
+            # 2-D (particles x model) mesh tuning (r5 measured,
+            # benchmarks/mesh2d_probe.py on a (1,1)-device 2-D mesh):
+            # the streaming Pallas tile on the already-psum'd D rows
+            # beats the K-materialising XLA path at EVERY probed shape
+            # (42.95 vs 52.21 us at n=1000/p=128 blk512; 85.97 vs
+            # 94.88 at the NN shape; 1.044 vs 2.241 ms at n=8192/p=64
+            # blk1024), and the warm scan-carried median beats cold
+            # bisect (52.2 vs 94.4 us). median_collectives: the grid
+            # search pays ~28 us of extra fused count reads at n=1000
+            # on ONE device (80.0 vs 52.2) — worth it only when the
+            # PARTICLE axis is real (the count psums ride it; the
+            # per-shard read shrinks ~1/n_dev while the 4-collective
+            # saving is latency-fixed), so pick by particle-axis size
+            # exactly as on 1-D meshes.
             cfg["model_axis"] = model_axis
+            cfg.update(kernel_impl="pallas",
+                       pallas_block=1024 if large else 512)
+            if not large:
+                cfg["median_max_rows"] = 256
+            n_p_dev = 1
+            for ax in mesh.axis_names:
+                if ax != model_axis:
+                    n_p_dev *= mesh.shape[ax]
+            cfg["median_collectives"] = (
+                "rounds" if n_p_dev == 1 else "grid")
+            cfg["median_grid_g1"] = 8
             return cfg
         # 1-D particle mesh: fused_shard (the r3 fused tail split at its
         # collectives — bracket-pass kernel + streaming tile) whenever

@@ -817,3 +817,135 @@ def test_pallas_grads_match_autodiff_on_chip():
     assert rel < 1e-4, rel
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_shard_grid_and_ring_on_chip():
+    """The r5 collective layouts COMPILED on the real chip (1-device
+    mesh): median_collectives='grid' (the O(1)-collective warm search —
+    the bracket kernel's in-kernel grid counts run as real Mosaic) and
+    comm='ring' (ppermute packet circulation) must track the rounds
+    arm. The grid/rounds searches land in the same bin at this shape
+    (benchmarks/mesh_grid_probe.py pinned the medians bitwise-equal),
+    so the trajectories separate only through count-fp order."""
+    from jax.sharding import Mesh
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(17)
+    n, p = 512, 32
+    X = rng.normal(size=(128, p))
+    y = X @ rng.normal(size=(p, 1))
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("particles",))
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(), theta=theta0,
+        median="bisect", warm_median=True, warm_passes=8,
+        gd=Adam(learning_rate=1e-1), mesh=mesh,
+        step_impl="fused_shard",
+    )
+    rounds = SVGDSampler(median_collectives="rounds", **common)
+    rounds.run(batch, 10)
+    ref = np.asarray(rounds.samples)
+    assert np.isfinite(ref).all()
+    grid = SVGDSampler(median_collectives="grid", median_grid_g1=8,
+                       **common)
+    grid.run(batch, 10)
+    np.testing.assert_allclose(np.asarray(grid.samples), ref,
+                               rtol=1e-3, atol=1e-6)
+    ring = SVGDSampler(median_collectives="grid", median_grid_g1=8,
+                       comm="ring", **common)
+    ring.run(batch, 10)
+    np.testing.assert_allclose(np.asarray(ring.samples), ref,
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_mesh_custom_grads_on_chip():
+    """Mesh custom_grads COMPILED on the real chip (r5): the
+    hand-derived NN gradient Mosaic kernel inside the sharded step's
+    per-shard gradient stage on a 1-device mesh must reproduce the
+    single-device custom_grads trajectory (same kernel, same exact
+    median — the shard_map lowering adds no numerics)."""
+    from jax.sharding import Mesh
+    from stein_tpu import Adam, SVGDSampler
+    from stein_tpu.models import BayesianNNModel
+    from stein_tpu.utils.ravel import template_unraveler
+
+    rng = np.random.default_rng(23)
+    n, B, f, H = 256, 20, 1, 32
+    model = BayesianNNModel(f, H, n_train=B, n_batch=B, prior_beta=10.0)
+    n_params, _ = template_unraveler(model.template())
+    theta0 = jnp.asarray(rng.normal(size=(n, n_params)) * 0.05,
+                         jnp.float32)
+    X = rng.uniform(size=(B, f)).astype(np.float32)
+    y = np.cos(10 * X) * (5 * X) + rng.normal(size=(B, 1)) * 0.1
+    batch = {"X": jnp.asarray(X), "y": jnp.asarray(y, jnp.float32)}
+    hook = model.pallas_grads()
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(), theta=theta0,
+        median="bisect", gd=Adam(learning_rate=1e-2),
+        custom_grads=hook,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("particles",))
+    mc = SVGDSampler(mesh=mesh, **common)
+    sc = SVGDSampler(**common)
+    for _ in range(5):
+        mc.train_on_batch(batch)
+        sc.train_on_batch(batch)
+    np.testing.assert_allclose(
+        np.asarray(mc.samples), np.asarray(sc.samples),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_mesh2d_tuned_config_on_chip():
+    """The r5-tuned throughput_config(model_axis=) selection COMPILED
+    on the real chip ((1,1)-device 2-D mesh): the streaming Pallas tile
+    on the psum'd D rows must track the SAME 2-D mesh step with
+    kernel_impl='xla' — identical D rows and (subsampled) median, so
+    the only difference is the tile's exp2+contraction order (the
+    usual f32 class)."""
+    from jax.sharding import Mesh
+    from stein_tpu import Adam, SVGDSampler, throughput_config
+    from stein_tpu.models import LinearRegressionModel
+
+    rng = np.random.default_rng(29)
+    n, p = 512, 32
+    X = rng.normal(size=(128, p))
+    y = X @ rng.normal(size=(p, 1))
+    model = LinearRegressionModel(p)
+    batch = {"X": jnp.asarray(X, jnp.float32),
+             "y": jnp.asarray(y, jnp.float32)}
+    theta0 = jnp.asarray(rng.normal(size=(n, p)) * 0.1, jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("particles", "model"))
+    cfg = throughput_config(n, p, mesh=mesh, model_axis="model")
+    assert cfg["kernel_impl"] == "pallas"
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(), theta=theta0,
+        gd=Adam(learning_rate=1e-1),
+    )
+    # Adam's per-coordinate normalisation turns ULP-scale phi deltas
+    # into +-lr jumps on near-zero coordinates, so an elementwise
+    # bitwise-class bar is wrong across numerics classes: assert the
+    # trajectory class with an atol covering that coordinate noise
+    # (measured: 6/16384 elements at |diff| 2.6e-3 after 5 steps),
+    # plus TIGHT posterior-moment agreement — the quantity that means
+    # anything statistically.
+    tuned = SVGDSampler(**common, **cfg)
+    tuned.run(batch, 5)
+    ref_cfg = dict(cfg, kernel_impl="xla")
+    ref_cfg.pop("pallas_block")
+    ref = SVGDSampler(**common, **ref_cfg)
+    ref.run(batch, 5)
+    a, b = np.asarray(tuned.samples), np.asarray(ref.samples)
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=5e-3)
+    np.testing.assert_allclose(a.mean(axis=0), b.mean(axis=0),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(a.std(axis=0), b.std(axis=0),
+                               rtol=5e-3, atol=1e-4)
