@@ -555,29 +555,9 @@ def main():
     def bench_mesh_large(**kw):
         from jax.sharding import Mesh
         import jax as _jax
-        import jax.numpy as jnp
-        from stein_tpu import SVGDSampler, Adam
-        from stein_tpu.models import LinearRegressionModel
-        rng = np.random.default_rng(2)
-        p64 = 64
-        Xl = rng.normal(size=(N_OBS, p64))
-        yl = Xl @ rng.normal(size=(p64, 1)) + rng.normal(
-            size=(N_OBS, 1)) * 0.3
-        th0 = rng.normal(size=(8192, p64)) * 0.01
+        from benchmarks.meshL_workload import make_meshL_sampler
         mesh = Mesh(np.asarray(_jax.devices()[:1]), ("particles",))
-        model = LinearRegressionModel(p64)
-        batch = model.sufficient_batch(
-            {"X": jnp.asarray(Xl, jnp.float32),
-             "y": jnp.asarray(yl, jnp.float32)})
-        sampler = SVGDSampler(
-            n_particles=8192, log_p=model.log_p,
-            param_template=model.template(), gd=Adam(learning_rate=1e-1),
-            theta=jnp.asarray(th0, jnp.float32), mesh=mesh,
-            step_impl="fused_shard", pallas_block=1024,
-            median="bisect", median_passes=16, warm_median=True,
-            warm_passes=6, median_max_rows=64,
-            quadratic_form=model.quadratic_form, **kw,
-        )
+        sampler, batch = make_meshL_sampler(mesh, n_obs=N_OBS, **kw)
         return slope_time(sampler, batch, K=400, R=6, reps=3)
 
     for tag, kw in (("meshL_fused_shard",

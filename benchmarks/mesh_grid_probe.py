@@ -112,29 +112,12 @@ def main():
     from bench import N_OBS, slope_time as _slope
     from stein_tpu import SVGDSampler, Adam
 
+    from benchmarks.meshL_workload import make_meshL_sampler
+
     def measure_large(tag, **kw):
-        rng = np.random.default_rng(2)
-        p64 = 64
-        Xl = rng.normal(size=(N_OBS, p64))
-        yl = Xl @ rng.normal(size=(p64, 1)) + rng.normal(
-            size=(N_OBS, 1)) * 0.3
-        th0 = rng.normal(size=(8192, p64)) * 0.01
-        model_l = LinearRegressionModel(p64)
-        batch = model_l.sufficient_batch(
-            {"X": jnp.asarray(Xl, jnp.float32),
-             "y": jnp.asarray(yl, jnp.float32)})
         ts = []
         for _ in range(3):
-            sampler = SVGDSampler(
-                n_particles=8192, log_p=model_l.log_p,
-                param_template=model_l.template(),
-                gd=Adam(learning_rate=1e-1),
-                theta=jnp.asarray(th0, jnp.float32), mesh=mesh,
-                step_impl="fused_shard", pallas_block=1024,
-                median="bisect", median_passes=16, warm_median=True,
-                warm_passes=6, median_max_rows=64,
-                quadratic_form=model_l.quadratic_form, **kw,
-            )
+            sampler, batch = make_meshL_sampler(mesh, n_obs=N_OBS, **kw)
             ts.append(_slope(sampler, batch, K=400, R=6, reps=3))
         t = sorted(ts)[1]
         print(f"{tag:42s} {t * 1e6:9.2f} us/step", flush=True)

@@ -63,8 +63,13 @@ N_COLL_COLD = 11        # 1 + ceil(16/2) + clip + gather
 # sub-bin location ride ONE batched psum, the g2 finish is local —
 # 2 median psums + clip + gather. throughput_config picks grid on
 # real (n_dev>=2) meshes precisely because this count is what
-# multiplies the per-hop latency below.
+# multiplies the per-hop latency below. On the RING layout the grid
+# step executes 6 all-reduces (extra center psum + hi_bound pmax —
+# the all-gather arm derives both from the gathered block for free;
+# pinned by test_ring_fused_shard_lowers_to_ring_collectives), so the
+# grid's latency saving applies to the all-gather layout only.
 N_COLL_GRID = 4
+N_COLL_RING_GRID = 6
 
 
 def step_time(n, p, hosts, layout="all_gather", warm=True,
@@ -86,8 +91,10 @@ def step_time(n, p, hosts, layout="all_gather", warm=True,
     Returns (t_total, parts dict)."""
     flops = 6.0 * (n / hosts) * n * p
     t_tile = flops / (tflops * 1e12)
-    if warm:
-        n_coll = N_COLL_GRID if median == "grid" else N_COLL_WARM
+    if warm and median == "grid":
+        n_coll = N_COLL_RING_GRID if layout == "ring" else N_COLL_GRID
+    elif warm:
+        n_coll = N_COLL_WARM
     else:
         n_coll = N_COLL_COLD
     t_lat = n_coll * (hosts - 1) * hop_lat
@@ -138,9 +145,10 @@ def main():
             gl = efficiency(n, p, h, "all_gather", glm=True)
             row.append(f"{ag*100:3.0f}/{ri*100:3.0f}/{gl*100:3.0f}%")
         print(" | ".join(row))
-    g2 = efficiency(args.n, p, 2, "ring", median="grid")
-    r2 = efficiency(args.n, p, 2, "ring")
-    print(f"grid median (4 vs 6 serial collectives): ring H=2 "
+    g2 = efficiency(args.n, p, 2, "all_gather", median="grid")
+    r2 = efficiency(args.n, p, 2, "all_gather")
+    print(f"grid median (4 vs 6 serial collectives, all_gather layout; "
+          f"ring-grid stays at 6): H=2 "
           f"{r2*100:.1f}% -> {g2*100:.1f}% at n={args.n}")
     t1, parts = step_time(args.n, p, 1)
     print(f"1-host anchor at n={args.n}: {t1*1e3:.3f} ms projected "

@@ -876,8 +876,12 @@ def throughput_config(n_particles, n_params, mesh=None, model_axis=None,
             # saving is latency-fixed), so pick by particle-axis size
             # exactly as on 1-D meshes.
             cfg["model_axis"] = model_axis
-            cfg.update(kernel_impl="pallas",
-                       pallas_block=1024 if large else 512)
+            if f32:
+                # The 2-D tile computes in f32 (like every Pallas path)
+                # — non-f32 dtypes keep the all-XLA 2-D step at the
+                # requested precision, same gate as every other branch.
+                cfg.update(kernel_impl="pallas",
+                           pallas_block=1024 if large else 512)
             if not large:
                 cfg["median_max_rows"] = 256
             n_p_dev = 1

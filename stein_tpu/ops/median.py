@@ -555,6 +555,20 @@ def sharded_warm_from_grid(D, med_prev, cnts_local, hi_bound, axis_name,
     if g1 != 2 ** lg1:
         raise ValueError(f"grid g1 must be a power of two (got {g1})")
     g2 = 2 ** max(warm_passes - lg1, 1)
+    if g2 > 1024:
+        # The g2 pass unrolls g2 - 1 fused threshold counts at trace
+        # time (the rounds chain loops instead): an unbounded
+        # warm_passes would emit tens of thousands of count
+        # expressions and hang compilation. 1024 covers every sane
+        # width target (warm_passes <= log2(g1) + 10) with a <= ms
+        # trace; beyond that the quad-round search is the right tool.
+        raise ValueError(
+            f"median_collectives='grid' unrolls 2**(warm_passes - "
+            f"log2(g1)) = {g2} threshold counts per step; cap "
+            f"warm_passes at {lg1 + 10} for g1={g1}, or use "
+            "median_collectives='rounds' (looped search) for deeper "
+            "refinement"
+        )
     w2 = (hi0 - lo0) / g2
     cnts2 = jnp.stack([
         jnp.sum(D <= lo0 + t * w2, dtype=cdt) for t in range(1, g2)

@@ -111,7 +111,7 @@ def make_sharded2d_step(log_p, unravel_fn, gd, n_particles, n_params, state,
 
     grad_all = jax.vmap(jax.value_and_grad(log_p_flat), in_axes=(0, None))
 
-    def compute_med_cold(D_rows, rsq_all):
+    def compute_med_cold(D_rows, rsq_cen):
         # Global median over all n^2 entries (compute_median.py:4-16):
         # row blocks live on the particle axis.
         if median == "exact":
@@ -173,22 +173,39 @@ def _d_rows_2d(theta_blk, theta_cols, model_axis):
     the warm-median cold seed, so the seed is computed on the identical D
     the step re-verifies against. HIGHEST on the Gram: D cancels
     catastrophically (see ops/rbf.pairwise_sq_dists)."""
-    rsq_loc = jax.lax.psum(
-        jnp.sum(theta_blk * theta_blk, axis=1), model_axis
-    )                                             # [n_loc]
-    rsq_all = jax.lax.psum(
-        jnp.sum(theta_cols * theta_cols, axis=1), model_axis
-    )                                             # [n]
+    # Column-block particle mean is LOCAL (theta_cols holds all n rows
+    # of this shard's columns) — used only for the grid search's
+    # fallback range below; D itself stays on the uncentered identity
+    # so the 2-D numerics class is unchanged.
+    mu = jnp.mean(theta_cols, axis=0, keepdims=True)   # [1, p_loc]
+    tc_cen = theta_cols - mu
+    n = theta_cols.shape[0]
     partial_gram = jnp.matmul(
         theta_blk, theta_cols.T,
         precision=jax.lax.Precision.HIGHEST,
     )                                             # [n_loc, n]
+    # The three norm partials ride ONE concatenated-vector psum (r5
+    # review: they were separate all-reduces; jax lowers tuple psums
+    # leaf-wise, so packing must be by concatenation) — 2 model-axis
+    # collectives per step incl. the Gram, down from 3.
+    vec = jax.lax.psum(
+        jnp.concatenate([
+            jnp.sum(theta_cols * theta_cols, axis=1),   # [n]
+            jnp.sum(tc_cen * tc_cen, axis=1),           # [n] centered
+            jnp.sum(theta_blk * theta_blk, axis=1),     # [n_loc]
+        ]),
+        model_axis,
+    )
+    rsq_all, rsq_cen, rsq_loc = vec[:n], vec[n:2 * n], vec[2 * n:]
     gram = jax.lax.psum(partial_gram, model_axis)
     D = rsq_loc[:, None] + rsq_all[None, :] - 2.0 * gram
-    # rsq_all rides along: 4 * max |x|^2 bounds every D entry (no
-    # centering needed for a BOUND), which the grid warm search uses as
-    # its shard-identical fallback range — free of any extra collective.
-    return D, rsq_all
+    # rsq_cen rides along for the grid warm search's fallback range:
+    # |a-b|^2 <= 4 max |x - mean|^2 — CENTERED, so the bound is
+    # spread-scale, not ||mean||^2-scale (an off-origin cloud with an
+    # uncentered bound could park the no-valid-bracket fallback at an
+    # inflated median and stay there; r5 review). Shard-identical: mu
+    # and the partial are deterministic per model shard, psum'd.
+    return D, rsq_cen
 
 
 def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
@@ -220,9 +237,9 @@ def _core_step_2d(state, batch, compute_med, *, grad_all, gd, kernel,
         grads_blk, particle_axis, tiled=True
     )                                             # [n, p_loc]
 
-    D_rows, rsq_all = _d_rows_2d(theta_blk, theta_cols, model_axis)
+    D_rows, rsq_cen = _d_rows_2d(theta_blk, theta_cols, model_axis)
 
-    med = compute_med(D_rows, rsq_all)
+    med = compute_med(D_rows, rsq_cen)
     from ..ops.rbf import bandwidth_sq_from_median
     h2 = bandwidth_sq_from_median(med, n_particles)
 
@@ -335,15 +352,15 @@ def make_sharded2d_warm_step(log_p, unravel_fn, gd, n_particles, n_params,
     def spmd_warm_step(carry, batch):
         state, med_prev = carry
         if median_collectives == "grid":
-            def compute_med(D_rows, rsq_all):
-                hi_bound = 4.0 * jnp.max(rsq_all) * 1.0001 + 1e-30
+            def compute_med(D_rows, rsq_cen):
+                hi_bound = 4.0 * jnp.max(rsq_cen) * 1.0001 + 1e-30
                 return sharded_warm_grid_on_D(
                     D_rows, med_prev, hi_bound, particle_axis,
                     max_rows=median_max_rows, warm_passes=warm_passes,
                     g1=median_grid_g1,
                 )
         else:
-            def compute_med(D_rows, rsq_all):
+            def compute_med(D_rows, rsq_cen):
                 return sharded_warm_bisect_median_on_D(
                     D_rows, med_prev, particle_axis,
                     max_rows=median_max_rows, warm_passes=warm_passes,

@@ -269,7 +269,10 @@ def make_sharded_fused_warm_step(log_p, unravel_fn, gd, n_particles,
             b_row = b_eff.reshape(1, -1)
             G_loc = jnp.matmul(theta_loc, A_eff,
                                precision=jax.lax.Precision.HIGH)
-            grads_loc = b_row - G_loc
+            # No local gradient block here: the ring tile loop derives
+            # each VISITING block's gradients from the quadratic
+            # algebra per rotation (incl. rotation 0's own block) —
+            # only theta circulates, the GLM comm halving.
             log_p_vals = (
                 jnp.sum(theta_loc * (b_row - 0.5 * G_loc), axis=1)
                 + const

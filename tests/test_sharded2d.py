@@ -308,12 +308,66 @@ def test_2d_grid_matches_rounds():
         ).as_text()
         return txt.count("all_reduce") + txt.count("all-reduce")
 
-    # The 2-D step's non-median all-reduces: 3 D-row psums (rsq_loc,
-    # rsq_all, partial Gram — model axis), the two-axis clip psums (2),
-    # and the log_p pmean (1) = 6. Median: grid adds its 2 batched
-    # psums (8 total, straight-line); rounds adds the batched [-lo,hi]
-    # pmax + the endpoint psum + the fori_loop-resident round psum
-    # (9 textual, the loop one EXECUTING warm_passes//2 = 4 times:
-    # 12 executed vs grid's 8).
-    assert n_all_reduce(g) == 8, n_all_reduce(g)
-    assert n_all_reduce(r) == 9, n_all_reduce(r)
+    # The 2-D step's non-median all-reduces: 2 D-row psums (the three
+    # norm partials packed into ONE concatenated-vector psum + the
+    # partial Gram — model axis; r5 review), the two-axis clip psums
+    # (2), and the log_p pmean (1) = 5. Median: grid adds its 2
+    # batched psums (7 total, straight-line); rounds adds the batched
+    # [-lo,hi] pmax + the endpoint psum + the fori_loop-resident round
+    # psum (8 textual, the loop one EXECUTING warm_passes//2 = 4
+    # times: 11 executed vs grid's 7).
+    assert n_all_reduce(g) == 7, n_all_reduce(g)
+    assert n_all_reduce(r) == 8, n_all_reduce(r)
+
+
+@requires_8_devices
+def test_2d_grid_off_origin_bound_is_centered():
+    """r5 review fix: the 2-D grid search's fallback range comes from
+    CENTERED column norms — an off-origin cloud (||mean|| >> spread)
+    must keep the grid arm's medians tracking the rounds arm (an
+    uncentered bound is ||mean||^2-scale, parking the no-valid-bracket
+    fallback at an inflated median it can never re-verify away from)."""
+    theta0, model, batch = _setup()
+    theta_off = np.asarray(theta0) + 100.0      # ||mean|| ~ 100x spread
+    n, p = theta0.shape
+    common = dict(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta_off), dtype=jnp.float64,
+        median="bisect", warm_median=True, warm_passes=8,
+        mesh=_mesh_4x2(), model_axis="model",
+    )
+    g = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="grid", **common)
+    aux_g = g.run(batch, 5)
+    r = SVGDSampler(gd=Adam(learning_rate=1e-1),
+                    median_collectives="rounds", **common)
+    aux_r = r.run(batch, 5)
+    mg = np.asarray(aux_g["median"])
+    mr = np.asarray(aux_r["median"])
+    assert np.isfinite(mg).all()
+    # Every step's grid median stays in the rounds median's class (the
+    # uncentered-bound failure mode was orders of magnitude off).
+    np.testing.assert_allclose(mg, mr, rtol=5e-2)
+    np.testing.assert_allclose(g.samples, r.samples, rtol=2e-2,
+                               atol=2e-4)
+
+
+@requires_8_devices
+def test_grid_warm_passes_unroll_guard():
+    """r5 review fix: median_collectives='grid' unrolls its g2 pass
+    (2**(warm_passes - log2(g1)) - 1 fused counts); an unbounded
+    warm_passes must fail with a readable error instead of hanging
+    compilation."""
+    theta0, model, batch = _setup()
+    n, p = theta0.shape
+    s = SVGDSampler(
+        n_particles=n, log_p=model.log_p,
+        param_template=model.template(jnp.float64),
+        theta=jnp.asarray(theta0), dtype=jnp.float64,
+        median="bisect", warm_median=True, warm_passes=25,
+        mesh=_mesh_4x2(), model_axis="model",
+        median_collectives="grid", gd=Adam(learning_rate=1e-1),
+    )
+    with pytest.raises(ValueError, match="warm_passes"):
+        s.run(batch, 1)
